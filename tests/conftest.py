@@ -1,0 +1,32 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Real TPU hardware in this environment is a single chip; multi-chip sharding
+logic is validated on virtual CPU devices (same XLA SPMD partitioner).
+Must set flags before jax initializes its backends.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Force CPU: the ambient environment may point JAX_PLATFORMS at the tunneled
+# TPU, which makes eager unit-test ops cross the tunnel (minutes instead of
+# seconds) and would race the benchmark for the single real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # The ambient axon TPU-tunnel plugin (registered per-process by a
+    # sitecustomize hook) blocks ~2 minutes at interpreter shutdown closing
+    # its session. Tests never touch the TPU; skip the teardown entirely.
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(int(exitstatus))
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

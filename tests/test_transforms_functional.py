@@ -1,0 +1,165 @@
+"""Numerical parity tests: our jnp functional transforms vs reference torch.
+
+Reference: pytorchvideo/transforms/functional.py. Ours is channels-last
+(T, H, W, C); conversion happens at the test boundary.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from pytorchvideo_tpu.transforms import functional as F
+from ref_loader import load_ref
+
+RF = load_ref("pytorchvideo.transforms.functional")
+
+
+def _rand_video_cthw(c=3, t=8, h=32, w=40, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0, 255, size=(c, t, h, w)).astype(np.float32)
+
+
+def _to_thwc(x_cthw):
+    return jnp.asarray(np.moveaxis(x_cthw, 0, -1))
+
+
+@pytest.mark.parametrize("t,num", [(8, 4), (8, 8), (8, 3), (4, 10), (30, 13), (1, 5)])
+def test_uniform_temporal_subsample_parity(t, num):
+    x = _rand_video_cthw(t=t)
+    ref_out = RF.uniform_temporal_subsample(torch.from_numpy(x), num, -3).numpy()
+    our_out = F.uniform_temporal_subsample(_to_thwc(x), num)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(our_out), -1, 0), ref_out)
+
+
+@pytest.mark.parametrize("h,w,size", [(32, 40, 24), (40, 32, 24), (32, 32, 48), (31, 45, 17)])
+def test_short_side_scale_parity(h, w, size):
+    x = _rand_video_cthw(h=h, w=w)
+    ref_out = RF.short_side_scale(torch.from_numpy(x), size).numpy()
+    our_out = F.short_side_scale(_to_thwc(x), size)
+    assert np.moveaxis(np.asarray(our_out), -1, 0).shape == ref_out.shape
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(our_out), -1, 0), ref_out, rtol=1e-4, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("spatial_idx", [0, 1, 2])
+@pytest.mark.parametrize("h,w", [(32, 48), (48, 32), (33, 47)])
+def test_uniform_crop_parity(spatial_idx, h, w):
+    x = _rand_video_cthw(h=h, w=w)
+    size = 24
+    ref_out = RF.uniform_crop(torch.from_numpy(x), size, spatial_idx).numpy()
+    our_out = F.uniform_crop(_to_thwc(x), size, spatial_idx)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(our_out), -1, 0), ref_out)
+
+
+@pytest.mark.parametrize("label_smooth", [0.0, 0.1])
+def test_convert_to_one_hot_parity(label_smooth):
+    targets = np.array([0, 3, 2, 1], dtype=np.int64)
+    ref_out = RF.convert_to_one_hot(
+        torch.from_numpy(targets), 4, label_smooth
+    ).numpy()
+    our_out = np.asarray(F.convert_to_one_hot(jnp.asarray(targets), 4, label_smooth))
+    np.testing.assert_allclose(
+        our_out, ref_out.reshape(our_out.shape), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_div_255():
+    x = _to_thwc(_rand_video_cthw())
+    np.testing.assert_allclose(
+        np.asarray(F.div_255(x)), np.asarray(x) / 255.0, rtol=1e-6
+    )
+
+
+def test_normalize():
+    x = _to_thwc(_rand_video_cthw())
+    mean, std = [0.45, 0.45, 0.45], [0.225, 0.225, 0.225]
+    out = F.normalize(F.div_255(x), mean, std)
+    manual = (np.asarray(x) / 255.0 - np.array(mean)) / np.array(std)
+    np.testing.assert_allclose(np.asarray(out), manual, rtol=1e-5, atol=1e-6)
+
+
+def test_crop_matches_slicing():
+    x = _to_thwc(_rand_video_cthw())
+    out = F.crop(x, 3, 5, 16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x)[:, 3:19, 5:21, :])
+
+
+def test_crop_and_resize_matches_slice_then_resize():
+    x = _to_thwc(_rand_video_cthw(h=40, w=40))
+    # Integer box: crop_and_resize should equal slice + resize.
+    out = F.crop_and_resize(x, 4.0, 6.0, 20.0, 24.0, 16, 16)
+    sliced = x[:, 4:24, 6:30, :]
+    resized = F.resize(sliced, (16, 16))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(resized), rtol=1e-4, atol=1e-3)
+
+
+def test_random_resized_crop_shapes():
+    x = _to_thwc(_rand_video_cthw(h=48, w=64))
+    key = jax.random.PRNGKey(0)
+    out = F.random_resized_crop(x, 24, 24, (0.08, 1.0), (0.75, 1.33), key)
+    assert out.shape == (8, 24, 24, 3)
+    out_shift = F.random_resized_crop(
+        x, 24, 24, (0.08, 1.0), (0.75, 1.33), key, shift=True
+    )
+    assert out_shift.shape == (8, 24, 24, 3)
+
+
+def test_random_crop_within_bounds():
+    x = _to_thwc(_rand_video_cthw(h=40, w=40))
+    out = F.random_crop(x, 24, jax.random.PRNGKey(1))
+    assert out.shape == (8, 24, 24, 3)
+
+
+def test_horizontal_flip():
+    x = _to_thwc(_rand_video_cthw())
+    np.testing.assert_array_equal(
+        np.asarray(F.horizontal_flip(x)), np.asarray(x)[:, :, ::-1, :]
+    )
+
+
+def test_boxes_crop_and_clip():
+    boxes = jnp.asarray([[10.0, 12.0, 30.0, 28.0], [0.0, 0.0, 100.0, 100.0]])
+    out = F.crop_boxes(boxes, 5, 8)
+    np.testing.assert_allclose(
+        np.asarray(out), [[5.0, 4.0, 25.0, 20.0], [-5.0, -8.0, 95.0, 92.0]]
+    )
+    clipped = F.clip_boxes_to_image(out, 24, 24)
+    assert clipped.max() <= 23.0 and clipped.min() >= 0.0
+
+
+def test_uniform_crop_with_boxes_parity():
+    x = _rand_video_cthw(h=40, w=56)
+    boxes = np.array([[5.0, 6.0, 30.0, 35.0]], dtype=np.float32)
+    ref_img, ref_boxes = RF.uniform_crop_with_boxes(
+        torch.from_numpy(x), 24, 1, torch.from_numpy(boxes.copy())
+    )
+    our_img, our_boxes = F.uniform_crop_with_boxes(
+        _to_thwc(x), 24, 1, jnp.asarray(boxes)
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(our_img), -1, 0), ref_img.numpy()
+    )
+    np.testing.assert_allclose(np.asarray(our_boxes), ref_boxes.numpy())
+
+
+def test_short_side_scale_with_boxes_parity():
+    x = _rand_video_cthw(h=40, w=56)
+    boxes = np.array([[5.0, 6.0, 30.0, 35.0]], dtype=np.float32)
+    ref_img, ref_boxes = RF.short_side_scale_with_boxes(
+        torch.from_numpy(x), torch.from_numpy(boxes.copy()), 24
+    )
+    our_img, our_boxes = F.short_side_scale_with_boxes(
+        _to_thwc(x), jnp.asarray(boxes), 24
+    )
+    assert np.moveaxis(np.asarray(our_img), -1, 0).shape == ref_img.numpy().shape
+    np.testing.assert_allclose(np.asarray(our_boxes), ref_boxes.numpy(), rtol=1e-6)
+
+
+def test_uniform_temporal_subsample_repeated():
+    x = _to_thwc(_rand_video_cthw(t=32))
+    outs = F.uniform_temporal_subsample_repeated(x, (4, 1))
+    assert outs[0].shape[0] == 8 and outs[1].shape[0] == 32
