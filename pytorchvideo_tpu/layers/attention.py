@@ -1,0 +1,358 @@
+"""MViT multiscale (pooled) attention, TPU-native.
+
+Semantics parity: pytorchvideo/layers/attention.py — Mlp :51, _AttentionPool
+:117-212, MultiScaleAttention :215-544 (q/k/v pooling :341-465, scaled dot
+product :531-532, residual pooling :536-537), MultiScaleBlock :578-757.
+
+TPU-first design notes:
+- Tokens stay channels-last end to end: pooling reshapes (B, heads, L, c) ->
+  (B*heads, T, H, W, c) with NO transpose (the reference permutes to NCTHW
+  for torch conv; XLA wants channels-last, so our reshape is free).
+- Pooled output length L' is computed statically from thw + kernel/stride, so
+  all 16 block shapes compile once each under jit.
+- The attention core is isolated in :func:`scaled_dot_product_attention` so
+  the Pallas flash-attention kernel (ops/) can swap in.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorchvideo_tpu.layers.common import conv3d, max_pool3d, avg_pool3d, triple
+from pytorchvideo_tpu.layers.norms import Identity, LayerNorm, norm_is_batchnorm
+from pytorchvideo_tpu.layers.stochastic import DropPath
+
+Size3 = Tuple[int, int, int]
+
+
+class Mlp(nn.Module):
+    """fc1 -> act -> drop -> fc2 -> drop (reference attention.py:51-114)."""
+
+    hidden_features: int
+    out_features: int
+    act_layer: Callable = jax.nn.gelu
+    dropout_rate: float = 0.0
+    bias_on: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.hidden_features, use_bias=self.bias_on, name="fc1")(x)
+        x = self.act_layer(x)
+        if self.dropout_rate > 0.0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(self.out_features, use_bias=self.bias_on, name="fc2")(x)
+        if self.dropout_rate > 0.0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return x
+
+
+def _pooled_thw(thw: Size3, kernel: Size3, stride: Size3, padding: Size3) -> Size3:
+    return tuple(
+        (d + 2 * p - k) // s + 1 for d, k, s, p in zip(thw, kernel, stride, padding)
+    )
+
+
+class TokenPool(nn.Module):
+    """Pool a flattened token tensor through its (T, H, W) geometry.
+
+    Mirrors reference _AttentionPool (attention.py:117-212): split cls token,
+    reshape to the 3D grid, optional BN+GELU pre-pool, conv/max/avg pool,
+    reshape back, re-attach cls, LN post-pool.
+
+    Input: (B, N, L, c) with N = heads (or 1). Returns (pooled, thw').
+    """
+
+    pool_mode: Optional[str]  # "conv" | "max" | "avg" | None
+    kernel: Optional[Size3]
+    stride: Size3
+    has_cls_embed: bool = True
+    norm_layer: Optional[Callable] = None
+    depthwise_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x, thw: Size3, train: bool = False):
+        if self.pool_mode is None or self.kernel is None:
+            return x, thw
+        kernel = triple(self.kernel)
+        stride = triple(self.stride)
+        padding = tuple(k // 2 for k in kernel)
+
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[:, None]
+        cls_tok = None
+        if self.has_cls_embed:
+            cls_tok, x = x[:, :, :1], x[:, :, 1:]
+
+        B, N, L, c = x.shape
+        T, H, W = thw
+        grid = x.reshape(B * N, T, H, W, c)
+
+        norm = self.norm_layer(name="norm") if self.norm_layer is not None else None
+        norm_before = norm is not None and norm_is_batchnorm(self.norm_layer)
+        if norm_before:
+            # BN-before-pool (+ GELU) special case, reference attention.py:193-197.
+            grid = norm(grid, train=train)
+            grid = jax.nn.gelu(grid)
+
+        if self.pool_mode == "conv":
+            grid = conv3d(
+                c,
+                kernel,
+                stride,
+                padding,
+                groups=c if self.depthwise_conv else 1,
+                bias=False,
+                name="pool",
+            )(grid)
+        elif self.pool_mode == "max":
+            grid = max_pool3d(grid, kernel, stride, padding)
+        elif self.pool_mode == "avg":
+            grid = avg_pool3d(grid, kernel, stride, padding)
+        else:
+            raise NotImplementedError(self.pool_mode)
+
+        thw_out = grid.shape[1:4]
+        x = grid.reshape(B, N, thw_out[0] * thw_out[1] * thw_out[2], c)
+        if cls_tok is not None:
+            x = jnp.concatenate([cls_tok, x], axis=2)
+        if norm is not None and not norm_before:
+            x = norm(x, train=train)
+        if squeeze:
+            x = x[:, 0]
+        return x, tuple(thw_out)
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    residual_pool: bool,
+) -> jnp.ndarray:
+    """attn = softmax(q*scale @ k^T); out = attn @ v (+ q if residual_pool).
+
+    Reference attention.py:531-537. q/k/v: (B, heads, L, c). The Pallas fused
+    kernel in ops/ replaces this on TPU for long sequences.
+    """
+    attn = jnp.einsum(
+        "bhqc,bhkc->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
+    if residual_pool:
+        out = out + q
+    return out
+
+
+def _maybe_kernel(kernel, stride) -> Optional[Size3]:
+    """Pooling disabled when kernel and stride are all ones
+    (reference attention.py:327-339)."""
+    if kernel is None:
+        return None
+    if int(np.prod(triple(kernel))) == 1 and int(np.prod(triple(stride))) == 1:
+        return None
+    return triple(kernel)
+
+
+class MultiScaleAttention(nn.Module):
+    """Pooled multi-head attention (reference attention.py:215-544)."""
+
+    dim_out: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    dropout_rate: float = 0.0
+    kernel_q: Size3 = (1, 1, 1)
+    kernel_kv: Size3 = (1, 1, 1)
+    stride_q: Size3 = (1, 1, 1)
+    stride_kv: Size3 = (1, 1, 1)
+    norm_layer: Callable = LayerNorm
+    has_cls_embed: bool = True
+    pool_mode: str = "conv"
+    pool_first: bool = False
+    residual_pool: bool = True
+    depthwise_conv: bool = True
+    bias_on: bool = True
+    separate_qkv: bool = True
+
+    def _split_heads(self, x, heads):
+        B, L, C = x.shape
+        return x.reshape(B, L, heads, C // heads).transpose(0, 2, 1, 3)
+
+    def _merge_heads(self, x):
+        B, N, L, c = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(B, L, N * c)
+
+    @nn.compact
+    def __call__(self, x, thw: Size3, train: bool = False):
+        assert self.pool_mode in ("conv", "avg", "max")
+        B, L, C = x.shape
+        kq = _maybe_kernel(self.kernel_q, self.stride_q)
+        kkv = _maybe_kernel(self.kernel_kv, self.stride_kv)
+        conv_norm = self.norm_layer if self.pool_mode == "conv" else None
+
+        def pool(name, kernel, stride):
+            return TokenPool(
+                pool_mode=self.pool_mode if kernel is not None else None,
+                kernel=kernel,
+                stride=stride,
+                has_cls_embed=self.has_cls_embed,
+                norm_layer=conv_norm if kernel is not None else None,
+                depthwise_conv=self.depthwise_conv,
+                name=name,
+            )
+
+        if self.pool_first:
+            # Pool raw per-head tokens first, then project (attention.py:511-517).
+            heads = self._split_heads(x, self.num_heads)
+            q, q_thw = pool("pool_q", kq, self.stride_q)(heads, thw, train)
+            k, k_thw = pool("pool_k", kkv, self.stride_kv)(heads, thw, train)
+            v, v_thw = pool("pool_v", kkv, self.stride_kv)(heads, thw, train)
+            q = self._split_heads(
+                nn.Dense(self.dim_out, use_bias=self.qkv_bias, name="q")(
+                    self._merge_heads(q)
+                ),
+                self.num_heads,
+            )
+            k = self._split_heads(
+                nn.Dense(self.dim_out, use_bias=self.qkv_bias, name="k")(
+                    self._merge_heads(k)
+                ),
+                self.num_heads,
+            )
+            v = self._split_heads(
+                nn.Dense(self.dim_out, use_bias=self.qkv_bias, name="v")(
+                    self._merge_heads(v)
+                ),
+                self.num_heads,
+            )
+        else:
+            if self.separate_qkv:
+                q = self._split_heads(
+                    nn.Dense(self.dim_out, use_bias=self.qkv_bias, name="q")(x),
+                    self.num_heads,
+                )
+                k = self._split_heads(
+                    nn.Dense(self.dim_out, use_bias=self.qkv_bias, name="k")(x),
+                    self.num_heads,
+                )
+                v = self._split_heads(
+                    nn.Dense(self.dim_out, use_bias=self.qkv_bias, name="v")(x),
+                    self.num_heads,
+                )
+            else:
+                qkv = nn.Dense(
+                    self.dim_out * 3, use_bias=self.qkv_bias, name="qkv"
+                )(x)
+                qkv = qkv.reshape(
+                    B, L, 3, self.num_heads, self.dim_out // self.num_heads
+                )
+                qkv = qkv.transpose(2, 0, 3, 1, 4)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+            q, q_thw = pool("pool_q", kq, self.stride_q)(q, thw, train)
+            k, k_thw = pool("pool_k", kkv, self.stride_kv)(k, thw, train)
+            v, v_thw = pool("pool_v", kkv, self.stride_kv)(v, thw, train)
+
+        head_dim = self.dim_out // self.num_heads
+        out = scaled_dot_product_attention(
+            q, k, v, head_dim**-0.5, self.residual_pool
+        )
+        out = self._merge_heads(out)
+        out = nn.Dense(self.dim_out, use_bias=self.bias_on, name="proj")(out)
+        if self.dropout_rate > 0.0:
+            out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
+        return out, q_thw
+
+
+class MultiScaleBlock(nn.Module):
+    """MViT transformer block (reference attention.py:578-757)."""
+
+    dim: int
+    dim_out: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    dropout_rate: float = 0.0
+    droppath_rate: float = 0.0
+    act_layer: Callable = jax.nn.gelu
+    norm_layer: Callable = LayerNorm
+    attn_norm_layer: Callable = LayerNorm
+    dim_mul_in_att: bool = False
+    kernel_q: Size3 = (1, 1, 1)
+    kernel_kv: Size3 = (1, 1, 1)
+    stride_q: Size3 = (1, 1, 1)
+    stride_kv: Size3 = (1, 1, 1)
+    pool_mode: str = "conv"
+    has_cls_embed: bool = True
+    pool_first: bool = False
+    residual_pool: bool = False
+    depthwise_conv: bool = True
+    bias_on: bool = True
+    separate_qkv: bool = True
+
+    @nn.compact
+    def __call__(self, x, thw: Size3, train: bool = False):
+        att_dim = self.dim_out if self.dim_mul_in_att else self.dim
+
+        x_norm = self.norm_layer(name="norm1")(x, train=train)
+        x_block, thw_new = MultiScaleAttention(
+            dim_out=att_dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            dropout_rate=self.dropout_rate,
+            kernel_q=self.kernel_q,
+            kernel_kv=self.kernel_kv,
+            stride_q=self.stride_q,
+            stride_kv=self.stride_kv,
+            norm_layer=self.attn_norm_layer,
+            has_cls_embed=self.has_cls_embed,
+            pool_mode=self.pool_mode,
+            pool_first=self.pool_first,
+            residual_pool=self.residual_pool,
+            depthwise_conv=self.depthwise_conv,
+            bias_on=self.bias_on,
+            separate_qkv=self.separate_qkv,
+            name="attn",
+        )(x_norm, thw, train)
+
+        needs_proj = self.dim != self.dim_out
+        if self.dim_mul_in_att and needs_proj:
+            x = nn.Dense(self.dim_out, use_bias=self.bias_on, name="proj")(x_norm)
+
+        # Residual-path pooling: maxpool with kernel s+1 (s>1), stride s
+        # (reference attention.py:680-683, 746).
+        stride_skip = triple(self.stride_q)
+        if int(np.prod(stride_skip)) > 1:
+            kernel_skip = tuple(s + 1 if s > 1 else s for s in stride_skip)
+            x_res, _ = TokenPool(
+                pool_mode="max",
+                kernel=kernel_skip,
+                stride=stride_skip,
+                has_cls_embed=self.has_cls_embed,
+                norm_layer=None,
+                name="pool_skip",
+            )(x, thw, train)
+        else:
+            x_res = x
+
+        drop_path = DropPath(self.droppath_rate)
+        x = x_res + drop_path(x_block, train=train)
+
+        x_norm = self.norm_layer(name="norm2")(x, train=train)
+        x_mlp = Mlp(
+            hidden_features=int(att_dim * self.mlp_ratio),
+            out_features=self.dim_out,
+            act_layer=self.act_layer,
+            dropout_rate=self.dropout_rate,
+            bias_on=self.bias_on,
+            name="mlp",
+        )(x_norm, train=train)
+        if not self.dim_mul_in_att and needs_proj:
+            x = nn.Dense(self.dim_out, use_bias=self.bias_on, name="proj")(x_norm)
+        x = x + drop_path(x_mlp, train=train)
+        return x, thw_new

@@ -1,0 +1,160 @@
+"""Stems: basic conv stem, acoustic stem, patch embedding.
+
+Parity: pytorchvideo/models/stem.py (create_res_basic_stem :11-107, acoustic
+stem :110-212, ResNetBasicStem :215-260, PatchEmbed :263-292,
+create_conv_patch_embed :295-338). Channels-last (B, T, H, W, C).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+
+from pytorchvideo_tpu.layers.common import Conv3d, apply_with_train
+from pytorchvideo_tpu.layers.convolutions import ConvReduce3D
+from pytorchvideo_tpu.layers.norms import BatchNorm, make_act, make_norm
+from pytorchvideo_tpu.layers.pooling import MaxPool3d
+
+
+class ResNetBasicStem(nn.Module):
+    """conv -> norm -> activation -> pool (reference stem.py:215-260)."""
+
+    conv: Optional[nn.Module] = None
+    norm: Optional[nn.Module] = None
+    activation: Optional[Callable] = None
+    pool: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.conv is not None
+        x = apply_with_train(self.conv, x, train)
+        x = apply_with_train(self.norm, x, train)
+        if self.activation is not None:
+            x = self.activation(x)
+        if self.pool is not None:
+            x = self.pool(x)
+        return x
+
+
+def create_res_basic_stem(
+    *,
+    in_channels: int = 3,
+    out_channels: int = 64,
+    conv_kernel_size: Tuple[int, int, int] = (3, 7, 7),
+    conv_stride: Tuple[int, int, int] = (1, 2, 2),
+    conv_padding: Tuple[int, int, int] = (1, 3, 3),
+    conv_bias: bool = False,
+    conv: Callable = Conv3d,
+    pool: Optional[Callable] = MaxPool3d,
+    pool_kernel_size: Tuple[int, int, int] = (1, 3, 3),
+    pool_stride: Tuple[int, int, int] = (1, 2, 2),
+    pool_padding: Tuple[int, int, int] = (0, 1, 1),
+    norm: Optional[Callable] = BatchNorm,
+    norm_eps: float = 1e-5,
+    norm_momentum: float = 0.1,
+    activation: Optional[Callable] = nn.relu,
+) -> ResNetBasicStem:
+    """Basic video stem builder (reference stem.py:11-107)."""
+    conv_module = conv(
+        in_channels=in_channels,
+        out_channels=out_channels,
+        kernel_size=conv_kernel_size,
+        stride=conv_stride,
+        padding=conv_padding,
+        bias=conv_bias,
+    )
+    pool_module = (
+        None
+        if pool is None
+        else pool(
+            kernel_size=pool_kernel_size, stride=pool_stride, padding=pool_padding
+        )
+    )
+    return ResNetBasicStem(
+        conv=conv_module,
+        norm=make_norm(norm, out_channels, norm_eps, norm_momentum),
+        activation=make_act(activation),
+        pool=pool_module,
+    )
+
+
+def create_acoustic_res_basic_stem(
+    *,
+    in_channels: int = 3,
+    out_channels: int = 64,
+    conv_kernel_size: Tuple[int, int, int] = (3, 7, 7),
+    conv_stride: Tuple[int, int, int] = (1, 1, 1),
+    conv_padding: Tuple[int, int, int] = (1, 3, 3),
+    conv_bias: bool = False,
+    pool: Optional[Callable] = MaxPool3d,
+    pool_kernel_size: Tuple[int, int, int] = (1, 3, 3),
+    pool_stride: Tuple[int, int, int] = (1, 2, 2),
+    pool_padding: Tuple[int, int, int] = (0, 1, 1),
+    norm: Optional[Callable] = BatchNorm,
+    norm_eps: float = 1e-5,
+    norm_momentum: float = 0.1,
+    activation: Optional[Callable] = nn.relu,
+) -> ResNetBasicStem:
+    """Acoustic stem: parallel temporal (kT,1,1) + spatial (1,kH,kW) convs
+    summed via ConvReduce3D (reference stem.py:110-212)."""
+    kt, kh, kw = conv_kernel_size
+    pt, ph, pw = conv_padding
+    conv_module = ConvReduce3D(
+        out_channels=out_channels,
+        kernel_size=((kt, 1, 1), (1, kh, kw)),
+        stride=(conv_stride, conv_stride),
+        padding=((pt, 0, 0), (0, ph, pw)),
+        bias=(conv_bias, conv_bias),
+        reduction_method="sum",
+    )
+    pool_module = (
+        None
+        if pool is None
+        else pool(
+            kernel_size=pool_kernel_size, stride=pool_stride, padding=pool_padding
+        )
+    )
+    return ResNetBasicStem(
+        conv=conv_module,
+        norm=make_norm(norm, out_channels, norm_eps, norm_momentum),
+        activation=make_act(activation),
+        pool=pool_module,
+    )
+
+
+class PatchEmbed(nn.Module):
+    """Conv patch embedding: conv -> flatten to (B, L, C)
+    (reference stem.py:263-292; channels-last means our flatten order
+    (T, H, W) matches torch's flatten(2).transpose)."""
+
+    patch_model: Optional[nn.Module] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.patch_model is not None
+        x = self.patch_model(x)
+        B = x.shape[0]
+        return x.reshape(B, -1, x.shape[-1])
+
+
+def create_conv_patch_embed(
+    *,
+    in_channels: int,
+    out_channels: int,
+    conv_kernel_size: Tuple[int, int, int] = (1, 16, 16),
+    conv_stride: Tuple[int, int, int] = (1, 4, 4),
+    conv_padding: Tuple[int, int, int] = (1, 7, 7),
+    conv_bias: bool = True,
+    conv: Callable = Conv3d,
+) -> PatchEmbed:
+    """Conv patch-embed builder (reference stem.py:295-338)."""
+    conv_module = conv(
+        in_channels=in_channels,
+        out_channels=out_channels,
+        kernel_size=conv_kernel_size,
+        stride=conv_stride,
+        padding=conv_padding,
+        bias=conv_bias,
+    )
+    return PatchEmbed(patch_model=conv_module)

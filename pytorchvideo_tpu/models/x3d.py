@@ -1,0 +1,505 @@
+"""X3D model family (XS/S/M/L by clip/crop/depth factors).
+
+Parity: pytorchvideo/models/x3d.py (create_x3d_stem :19-102, bottleneck
+:105-228, res block :230-325, res stage :327-408, head :411-536 + ProjectedPool
+:742-806, create_x3d :539-738). Channels-last.
+
+TPU note: the depthwise 3x3x3 conv_b + SE + Swish chain is the hot block; it
+runs on the VPU via XLA today, with a fused Pallas kernel as the optimization
+point (ops/).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import numpy as np
+
+from pytorchvideo_tpu.layers.common import Conv3d, apply_with_train
+from pytorchvideo_tpu.layers.convolutions import Conv2plus1d
+from pytorchvideo_tpu.layers.norms import BatchNorm, make_act, make_norm
+from pytorchvideo_tpu.layers.pooling import AvgPool3d
+from pytorchvideo_tpu.layers.squeeze_excitation import SqueezeExcitation
+from pytorchvideo_tpu.layers.stochastic import swish
+from pytorchvideo_tpu.layers.utils import round_repeats, round_width
+from pytorchvideo_tpu.models.head import ResNetBasicHead
+from pytorchvideo_tpu.models.net import Net
+from pytorchvideo_tpu.models.resnet import BottleneckBlock, ResBlock, ResStage
+from pytorchvideo_tpu.models.stem import ResNetBasicStem
+
+
+def create_x3d_stem(
+    *,
+    in_channels: int,
+    out_channels: int,
+    conv_kernel_size: Tuple[int, int, int] = (5, 3, 3),
+    conv_stride: Tuple[int, int, int] = (1, 2, 2),
+    conv_padding: Tuple[int, int, int] = (2, 1, 1),
+    norm: Optional[Callable] = BatchNorm,
+    norm_eps: float = 1e-5,
+    norm_momentum: float = 0.1,
+    activation: Optional[Callable] = nn.relu,
+) -> ResNetBasicStem:
+    """X3D stem: spatial conv then depthwise temporal conv
+    (reference x3d.py:19-102; note the reference stores the spatial conv in
+    Conv2plus1d's ``conv_t`` slot and the temporal in ``conv_xy`` — we keep
+    that field layout for checkpoint-name parity)."""
+    conv_xy = Conv3d(
+        in_channels=in_channels,
+        out_channels=out_channels,
+        kernel_size=(1, conv_kernel_size[1], conv_kernel_size[2]),
+        stride=(1, conv_stride[1], conv_stride[2]),
+        padding=(0, conv_padding[1], conv_padding[2]),
+        bias=False,
+    )
+    conv_t = Conv3d(
+        in_channels=out_channels,
+        out_channels=out_channels,
+        kernel_size=(conv_kernel_size[0], 1, 1),
+        stride=(conv_stride[0], 1, 1),
+        padding=(conv_padding[0], 0, 0),
+        bias=False,
+        groups=out_channels,
+    )
+    stacked = Conv2plus1d(conv_t=conv_xy, norm=None, activation=None, conv_xy=conv_t)
+    return ResNetBasicStem(
+        conv=stacked,
+        norm=make_norm(norm, out_channels, norm_eps, norm_momentum),
+        activation=make_act(activation),
+        pool=None,
+    )
+
+
+class NormSE(nn.Module):
+    """norm followed by optional SE (the reference packs these into
+    nn.Sequential(norm, se) as the bottleneck's norm_b, x3d.py:195-204)."""
+
+    norm: Optional[nn.Module] = None
+    se: Optional[nn.Module] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = apply_with_train(self.norm, x, train)
+        if self.se is not None:
+            x = self.se(x)
+        return x
+
+
+def create_x3d_bottleneck_block(
+    *,
+    dim_in: int,
+    dim_inner: int,
+    dim_out: int,
+    conv_kernel_size: Tuple[int, int, int] = (3, 3, 3),
+    conv_stride: Tuple[int, int, int] = (1, 2, 2),
+    norm: Optional[Callable] = BatchNorm,
+    norm_eps: float = 1e-5,
+    norm_momentum: float = 0.1,
+    se_ratio: float = 0.0625,
+    activation: Optional[Callable] = nn.relu,
+    inner_act: Optional[Callable] = swish,
+) -> BottleneckBlock:
+    """1x1x1 -> depthwise 3x3x3 (+SE) + Swish -> 1x1x1
+    (reference x3d.py:105-228)."""
+    se = (
+        SqueezeExcitation(
+            num_channels_reduced=round_width(dim_inner, se_ratio)
+        )
+        if se_ratio > 0.0
+        else None
+    )
+    return BottleneckBlock(
+        conv_a=Conv3d(
+            in_channels=dim_in,
+            out_channels=dim_inner,
+            kernel_size=(1, 1, 1),
+            bias=False,
+        ),
+        norm_a=make_norm(norm, dim_inner, norm_eps, norm_momentum),
+        act_a=make_act(activation),
+        conv_b=Conv3d(
+            in_channels=dim_inner,
+            out_channels=dim_inner,
+            kernel_size=conv_kernel_size,
+            stride=conv_stride,
+            padding=tuple(s // 2 for s in conv_kernel_size),
+            bias=False,
+            groups=dim_inner,
+        ),
+        norm_b=NormSE(
+            norm=make_norm(norm, dim_inner, norm_eps, norm_momentum), se=se
+        ),
+        act_b=make_act(inner_act),
+        conv_c=Conv3d(
+            in_channels=dim_inner,
+            out_channels=dim_out,
+            kernel_size=(1, 1, 1),
+            bias=False,
+        ),
+        norm_c=make_norm(norm, dim_out, norm_eps, norm_momentum),
+    )
+
+
+def create_x3d_res_block(
+    *,
+    dim_in: int,
+    dim_inner: int,
+    dim_out: int,
+    bottleneck: Callable = create_x3d_bottleneck_block,
+    use_shortcut: bool = True,
+    conv_kernel_size: Tuple[int, int, int] = (3, 3, 3),
+    conv_stride: Tuple[int, int, int] = (1, 2, 2),
+    norm: Optional[Callable] = BatchNorm,
+    norm_eps: float = 1e-5,
+    norm_momentum: float = 0.1,
+    se_ratio: float = 0.0625,
+    activation: Optional[Callable] = nn.relu,
+    inner_act: Optional[Callable] = swish,
+) -> ResBlock:
+    """Reference x3d.py:230-325."""
+    needs_proj = dim_in != dim_out or int(np.prod(conv_stride)) > 1
+    return ResBlock(
+        branch1_conv=(
+            Conv3d(
+                in_channels=dim_in,
+                out_channels=dim_out,
+                kernel_size=(1, 1, 1),
+                stride=conv_stride,
+                bias=False,
+            )
+            if needs_proj and use_shortcut
+            else None
+        ),
+        branch1_norm=(
+            make_norm(norm, dim_out, norm_eps, norm_momentum)
+            if (norm is not None and dim_in != dim_out and use_shortcut)
+            else None
+        ),
+        branch2=bottleneck(
+            dim_in=dim_in,
+            dim_inner=dim_inner,
+            dim_out=dim_out,
+            conv_kernel_size=conv_kernel_size,
+            conv_stride=conv_stride,
+            norm=norm,
+            norm_eps=norm_eps,
+            norm_momentum=norm_momentum,
+            se_ratio=se_ratio,
+            activation=activation,
+            inner_act=inner_act,
+        ),
+        activation=make_act(activation),
+    )
+
+
+def create_x3d_res_stage(
+    *,
+    depth: int,
+    dim_in: int,
+    dim_inner: int,
+    dim_out: int,
+    bottleneck: Callable = create_x3d_bottleneck_block,
+    conv_kernel_size: Tuple[int, int, int] = (3, 3, 3),
+    conv_stride: Tuple[int, int, int] = (1, 2, 2),
+    norm: Optional[Callable] = BatchNorm,
+    norm_eps: float = 1e-5,
+    norm_momentum: float = 0.1,
+    se_ratio: float = 0.0625,
+    activation: Optional[Callable] = nn.relu,
+    inner_act: Optional[Callable] = swish,
+) -> ResStage:
+    """SE on every other block ((idx+1) % 2), reference x3d.py:397-402."""
+    blocks = []
+    for idx in range(depth):
+        blocks.append(
+            create_x3d_res_block(
+                dim_in=dim_in if idx == 0 else dim_out,
+                dim_inner=dim_inner,
+                dim_out=dim_out,
+                bottleneck=bottleneck,
+                conv_kernel_size=conv_kernel_size,
+                conv_stride=conv_stride if idx == 0 else (1, 1, 1),
+                norm=norm,
+                norm_eps=norm_eps,
+                norm_momentum=norm_momentum,
+                se_ratio=(se_ratio if (idx + 1) % 2 else 0.0),
+                activation=activation,
+                inner_act=inner_act,
+            )
+        )
+    return ResStage(res_blocks=blocks)
+
+
+class ProjectedPool(nn.Module):
+    """conv -> norm -> act -> pool -> conv -> norm -> act
+    (reference x3d.py:742-806)."""
+
+    pre_conv: Optional[nn.Module] = None
+    pre_norm: Optional[nn.Module] = None
+    pre_act: Optional[Callable] = None
+    pool: Optional[Callable] = None
+    post_conv: Optional[nn.Module] = None
+    post_norm: Optional[nn.Module] = None
+    post_act: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = self.pre_conv(x)
+        x = apply_with_train(self.pre_norm, x, train)
+        if self.pre_act is not None:
+            x = self.pre_act(x)
+        x = self.pool(x)
+        x = self.post_conv(x)
+        x = apply_with_train(self.post_norm, x, train)
+        if self.post_act is not None:
+            x = self.post_act(x)
+        return x
+
+
+class _HeadPoolBlock(nn.Module):
+    """Adapter: ProjectedPool as the `pool` slot of ResNetBasicHead needs a
+    train flag; ResNetBasicHead calls pool(x) only, so wrap at build time."""
+
+    inner: nn.Module
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return self.inner(x, train=train)
+
+
+def create_x3d_head(
+    *,
+    dim_in: int,
+    dim_inner: int,
+    dim_out: int,
+    num_classes: int,
+    pool_act: Optional[Callable] = nn.relu,
+    pool_kernel_size: Optional[Tuple[int, int, int]] = (13, 5, 5),
+    norm: Optional[Callable] = BatchNorm,
+    norm_eps: float = 1e-5,
+    norm_momentum: float = 0.1,
+    bn_lin5_on: bool = False,
+    dropout_rate: float = 0.5,
+    activation: Optional[Callable] = None,
+    output_with_global_average: bool = True,
+) -> "X3DHead":
+    """Reference x3d.py:411-536."""
+    from pytorchvideo_tpu.layers.common import (
+        adaptive_avg_pool3d_to_1,
+        avg_pool3d,
+    )
+
+    if pool_kernel_size is None:
+        pool_fn = adaptive_avg_pool3d_to_1
+    else:
+        pool_fn = lambda x: avg_pool3d(x, pool_kernel_size, (1, 1, 1))  # noqa: E731
+
+    projected_pool = ProjectedPool(
+        pre_conv=Conv3d(
+            in_channels=dim_in,
+            out_channels=dim_inner,
+            kernel_size=(1, 1, 1),
+            bias=False,
+        ),
+        pre_norm=make_norm(norm, dim_inner, norm_eps, norm_momentum),
+        pre_act=make_act(pool_act),
+        pool=pool_fn,
+        post_conv=Conv3d(
+            in_channels=dim_inner,
+            out_channels=dim_out,
+            kernel_size=(1, 1, 1),
+            bias=False,
+        ),
+        post_norm=(
+            make_norm(norm, dim_out, norm_eps, norm_momentum) if bn_lin5_on else None
+        ),
+        post_act=make_act(pool_act),
+    )
+    if activation is None:
+        act = None
+    elif activation in ("softmax", jax.nn.softmax):
+        act = jax.nn.softmax
+    elif activation in ("sigmoid", jax.nn.sigmoid, nn.sigmoid):
+        act = jax.nn.sigmoid
+    else:
+        act = make_act(activation)
+
+    return X3DHead(
+        projected_pool=projected_pool,
+        proj=nn.Dense(num_classes, use_bias=True),
+        dropout_rate=dropout_rate,
+        activation=act,
+        output_with_global_average=output_with_global_average,
+    )
+
+
+class X3DHead(nn.Module):
+    """ProjectedPool -> dropout -> proj -> act -> global average.
+
+    Separate from ResNetBasicHead because the pool slot is itself a
+    parameterized module here (reference passes ProjectedPool into
+    ResNetBasicHead; linen needs the module tracked as a field)."""
+
+    projected_pool: ProjectedPool
+    proj: nn.Module
+    dropout_rate: float = 0.0
+    activation: Optional[Callable] = None
+    output_with_global_average: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from pytorchvideo_tpu.layers.common import adaptive_avg_pool3d_to_1
+
+        x = self.projected_pool(x, train=train)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = self.proj(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        if self.output_with_global_average:
+            x = adaptive_avg_pool3d_to_1(x)
+            x = x.reshape(x.shape[0], -1)
+        return x
+
+
+def create_x3d(
+    *,
+    input_channel: int = 3,
+    input_clip_length: int = 13,
+    input_crop_size: int = 160,
+    model_num_class: int = 400,
+    dropout_rate: float = 0.5,
+    width_factor: float = 2.0,
+    depth_factor: float = 2.2,
+    norm: Optional[Callable] = BatchNorm,
+    norm_eps: float = 1e-5,
+    norm_momentum: float = 0.1,
+    activation: Optional[Callable] = nn.relu,
+    stem_dim_in: int = 12,
+    stem_conv_kernel_size: Tuple[int, int, int] = (5, 3, 3),
+    stem_conv_stride: Tuple[int, int, int] = (1, 2, 2),
+    stage_conv_kernel_size: Tuple = (
+        (3, 3, 3),
+        (3, 3, 3),
+        (3, 3, 3),
+        (3, 3, 3),
+    ),
+    stage_spatial_stride: Tuple[int, ...] = (2, 2, 2, 2),
+    stage_temporal_stride: Tuple[int, ...] = (1, 1, 1, 1),
+    bottleneck: Callable = create_x3d_bottleneck_block,
+    bottleneck_factor: float = 2.25,
+    se_ratio: float = 0.0625,
+    inner_act: Optional[Callable] = swish,
+    head_dim_out: int = 2048,
+    head_pool_act: Optional[Callable] = nn.relu,
+    head_bn_lin5_on: bool = False,
+    head_activation: Optional[Callable] = None,
+    head_output_with_global_average: bool = True,
+) -> Net:
+    """Builder (reference x3d.py:539-738). Variants:
+    XS=4x160, S=13x160, M=16x224, L=16x312+depth_factor 5.0."""
+    from pytorchvideo_tpu.layers.common import adaptive_avg_pool3d_to_1, avg_pool3d
+
+    blocks = []
+    stem_dim_out = round_width(stem_dim_in, width_factor)
+    blocks.append(
+        create_x3d_stem(
+            in_channels=input_channel,
+            out_channels=stem_dim_out,
+            conv_kernel_size=stem_conv_kernel_size,
+            conv_stride=stem_conv_stride,
+            conv_padding=tuple(s // 2 for s in stem_conv_kernel_size),
+            norm=norm,
+            norm_eps=norm_eps,
+            norm_momentum=norm_momentum,
+            activation=activation,
+        )
+    )
+
+    stage_depths = [1, 2, 5, 3]
+    exp_stage = 2.0
+    stage_dim1 = stem_dim_in
+    stage_dim2 = round_width(stage_dim1, exp_stage, divisor=8)
+    stage_dim3 = round_width(stage_dim2, exp_stage, divisor=8)
+    stage_dim4 = round_width(stage_dim3, exp_stage, divisor=8)
+    stage_dims = [stage_dim1, stage_dim2, stage_dim3, stage_dim4]
+
+    dim_in = stem_dim_out
+    for idx in range(len(stage_depths)):
+        dim_out = round_width(stage_dims[idx], width_factor)
+        dim_inner = int(bottleneck_factor * dim_out)
+        blocks.append(
+            create_x3d_res_stage(
+                depth=round_repeats(stage_depths[idx], depth_factor),
+                dim_in=dim_in,
+                dim_inner=dim_inner,
+                dim_out=dim_out,
+                bottleneck=bottleneck,
+                conv_kernel_size=stage_conv_kernel_size[idx],
+                conv_stride=(
+                    stage_temporal_stride[idx],
+                    stage_spatial_stride[idx],
+                    stage_spatial_stride[idx],
+                ),
+                norm=norm,
+                norm_eps=norm_eps,
+                norm_momentum=norm_momentum,
+                se_ratio=se_ratio,
+                activation=activation,
+                inner_act=inner_act,
+            )
+        )
+        dim_in = dim_out
+
+    total_spatial_stride = stem_conv_stride[1] * int(np.prod(stage_spatial_stride))
+    total_temporal_stride = stem_conv_stride[0] * int(np.prod(stage_temporal_stride))
+    assert input_clip_length >= total_temporal_stride
+    assert input_crop_size >= total_spatial_stride
+    head_pool_kernel_size = (
+        input_clip_length // total_temporal_stride,
+        int(math.ceil(input_crop_size / total_spatial_stride)),
+        int(math.ceil(input_crop_size / total_spatial_stride)),
+    )
+
+    projected_pool = ProjectedPool(
+        pre_conv=Conv3d(
+            in_channels=dim_out,
+            out_channels=dim_inner,
+            kernel_size=(1, 1, 1),
+            bias=False,
+        ),
+        pre_norm=make_norm(norm, dim_inner, norm_eps, norm_momentum),
+        pre_act=make_act(head_pool_act),
+        pool=lambda x: avg_pool3d(x, head_pool_kernel_size, (1, 1, 1)),
+        post_conv=Conv3d(
+            in_channels=dim_inner,
+            out_channels=head_dim_out,
+            kernel_size=(1, 1, 1),
+            bias=False,
+        ),
+        post_norm=(
+            make_norm(norm, head_dim_out, norm_eps, norm_momentum)
+            if head_bn_lin5_on
+            else None
+        ),
+        post_act=make_act(head_pool_act),
+    )
+    if head_activation is None:
+        head_act = None
+    elif head_activation in ("softmax", jax.nn.softmax):
+        head_act = jax.nn.softmax
+    else:
+        head_act = make_act(head_activation)
+    blocks.append(
+        X3DHead(
+            projected_pool=projected_pool,
+            proj=nn.Dense(model_num_class, use_bias=True),
+            dropout_rate=dropout_rate,
+            activation=head_act,
+            output_with_global_average=head_output_with_global_average,
+        )
+    )
+    return Net(blocks=blocks)

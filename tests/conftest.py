@@ -16,15 +16,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 
+import pytest
+
+_EXIT_STATUS = [0]
+
+
 def pytest_sessionfinish(session, exitstatus):
+    _EXIT_STATUS[0] = int(exitstatus)
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_unconfigure(config):
     # The ambient axon TPU-tunnel plugin (registered per-process by a
     # sitecustomize hook) blocks ~2 minutes at interpreter shutdown closing
     # its session. Tests never touch the TPU; skip the teardown entirely.
+    # (unconfigure/trylast = after the terminal summary has been printed.)
     import sys
 
     sys.stdout.flush()
     sys.stderr.flush()
-    os._exit(int(exitstatus))
+    os._exit(_EXIT_STATUS[0])
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
