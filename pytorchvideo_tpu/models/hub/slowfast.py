@@ -1,0 +1,47 @@
+"""Named SlowFast architectures (reference models/hub/slowfast.py:37-148)."""
+
+from pytorchvideo_tpu.models.slowfast import create_slowfast
+
+checkpoint_names = {
+    "slowfast_r50": "kinetics/SLOWFAST_8x8_R50.pyth",
+    "slowfast_r101": "kinetics/SLOWFAST_8x8_R101.pyth",
+    "slowfast_16x8_r101_50_50": "kinetics/SLOWFAST_16x8_R101_50_50.pyth",
+}
+
+
+def slowfast_r50(**kwargs):
+    """SlowFast R50 8x8 (K400 top-1 76.94)."""
+    kwargs.setdefault("model_depth", 50)
+    kwargs.setdefault("slowfast_fusion_conv_kernel_size", (7, 1, 1))
+    return create_slowfast(**kwargs)
+
+
+def slowfast_r101(**kwargs):
+    """SlowFast R101 8x8 (K400 top-1 77.90)."""
+    kwargs.setdefault("model_depth", 101)
+    kwargs.setdefault("slowfast_fusion_conv_kernel_size", (5, 1, 1))
+    return create_slowfast(**kwargs)
+
+
+def slowfast_16x8_r101_50_50(**kwargs):
+    """SlowFast R101_50_50 16x8 (K400 top-1 78.70): stage-4 has 6 temporal
+    conv blocks then pointwise (reference hub/slowfast.py:101-148)."""
+    stage_conv_a_kernel_sizes = (
+        (
+            (1, 1, 1),
+            (1, 1, 1),
+            ((3, 1, 1),) * 6 + ((1, 1, 1),) * (23 - 6),
+            (3, 1, 1),
+        ),
+        (
+            (3, 1, 1),
+            (3, 1, 1),
+            ((3, 1, 1),) * 6 + ((1, 1, 1),) * (23 - 6),
+            (3, 1, 1),
+        ),
+    )
+    kwargs.setdefault("model_depth", 101)
+    kwargs.setdefault("slowfast_fusion_conv_kernel_size", (5, 1, 1))
+    kwargs.setdefault("stage_conv_a_kernel_sizes", stage_conv_a_kernel_sizes)
+    kwargs.setdefault("head_pool_kernel_sizes", ((16, 7, 7), (64, 7, 7)))
+    return create_slowfast(**kwargs)

@@ -1,0 +1,39 @@
+"""Hub utilities: named checkpoint registry + pretrained loading.
+
+The reference loads ``{"model_state": state_dict}`` .pyth files from the
+model-zoo URL root (reference models/hub/resnet.py:14-38). This environment
+has no egress; ``load_pretrained_variables`` takes a local .pyth path (or an
+already-loaded dict) and imports it through the generic torch importer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+MODEL_ZOO_ROOT_DIR = "https://dl.fbaipublicfiles.com/pytorchvideo/model_zoo"
+
+
+def load_pretrained_variables(
+    model,
+    example_input,
+    checkpoint,
+    rename_rules: Optional[Sequence[Tuple[str, str]]] = None,
+    strict: bool = True,
+):
+    """Build target variables via model.init and fill from a torch checkpoint.
+
+    ``checkpoint``: path to a .pyth file or a loaded state dict /
+    {"model_state": ...} mapping. Returns (variables, report).
+    """
+    import jax
+
+    from pytorchvideo_tpu.zoo.import_torch import import_torch_checkpoint
+
+    if isinstance(checkpoint, (str, bytes)):
+        import torch
+
+        checkpoint = torch.load(checkpoint, map_location="cpu", weights_only=True)
+    target = model.init(jax.random.PRNGKey(0), example_input, False)
+    return import_torch_checkpoint(
+        checkpoint, target, rename_rules=rename_rules, strict=strict
+    )

@@ -1,0 +1,133 @@
+"""Training/eval step builders: SPMD data-parallel over a Mesh.
+
+The reference trains via PyTorch Lightning DDP with manual optimization
+(pytorchvideo_trainer/module/video_classification.py:104-223). TPU-native
+equivalent: a pure jitted step over a ``jax.sharding.Mesh`` — params
+replicated (or TP-sharded), batch sharded on the ``data`` axis, gradients
+globally correct by construction (GSPMD inserts the all-reduce that DDP did
+with NCCL). BatchNorm under jit sees the *global* batch, giving SyncBN
+semantics (reference NaiveSyncBatchNorm) with zero extra code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from pytorchvideo_tpu.losses import soft_target_cross_entropy
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(variables, tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable = soft_target_cross_entropy,
+    batch_transform: Optional[Callable] = None,
+    clip_grad_norm: Optional[float] = None,
+    input_key: str = "video",
+    label_key: str = "label",
+):
+    """Build a pure (state, batch, rng) -> (state, metrics) step.
+
+    ``batch_transform``: optional (key, video, labels) -> (video, labels)
+    on-device batch op (MixUp/CutMix — the reference's MixVideoBatchWrapper).
+    Wrap the result in jit with shardings from parallel.mesh.
+    """
+
+    def step(state: TrainState, batch: Dict[str, Any], rng) -> Tuple[TrainState, Dict]:
+        video = batch[input_key]
+        labels = batch[label_key]
+        mix_key, dropout_key = jax.random.split(jax.random.fold_in(rng, state.step))
+        if batch_transform is not None:
+            video, labels = batch_transform(mix_key, video, labels)
+
+        def loss_of(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = model.apply(
+                variables,
+                video,
+                True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_key},
+            )
+            loss = loss_fn(out, labels)
+            return loss, (out, mutated.get("batch_stats", state.batch_stats))
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        if clip_grad_norm is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, clip_grad_norm / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss}
+        if labels.ndim == 1:
+            metrics["accuracy"] = jnp.mean(
+                (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+            )
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt_state,
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def make_eval_step(model, input_key: str = "video"):
+    """(state, batch) -> logits, eval mode (running BN stats)."""
+
+    def step(state: TrainState, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, batch[input_key], False)
+
+    return step
+
+
+def ensemble_video_level(
+    logits_list, video_indices, num_videos: int, method: str = "sum"
+):
+    """Multi-clip / multi-crop test-time ensembling keyed by video index
+    (reference module/video_classification.py:290-311): accumulate per-video
+    predictions by sum or max over clips."""
+    logits = jnp.concatenate(logits_list, axis=0)
+    idx = jnp.concatenate(video_indices, axis=0)
+    num_classes = logits.shape[-1]
+    if method == "sum":
+        out = jnp.zeros((num_videos, num_classes)).at[idx].add(logits)
+    elif method == "max":
+        out = (
+            jnp.full((num_videos, num_classes), -jnp.inf).at[idx].max(logits)
+        )
+    else:
+        raise NotImplementedError(method)
+    return out
