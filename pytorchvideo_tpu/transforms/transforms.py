@@ -209,18 +209,22 @@ class Normalize(_Layout):
 
 
 class ConvertUint8ToFloat:
-    """uint8 -> float32 (reference transforms.py:218-233). No scaling."""
+    """uint8 [0,255] -> float32 [0,1] (reference transforms.py:218-233 via
+    torchvision ConvertImageDtype, which rescales)."""
 
     def __call__(self, x):
         assert x.dtype == jnp.uint8 or x.dtype == np.uint8, "image must be uint8"
-        return jnp.asarray(x, jnp.float32)
+        return jnp.asarray(x, jnp.float32) / 255.0
 
 
 class ConvertFloatToUint8:
-    """float [0,255] -> uint8 (reference transforms.py:198-215)."""
+    """float [0,1] -> uint8 [0,255] (reference transforms.py:198-215)."""
 
     def __call__(self, x):
-        return jnp.asarray(x, jnp.uint8)
+        assert x.dtype in (jnp.float32, np.float32, jnp.float16), (
+            "image must be float"
+        )
+        return jnp.asarray(jnp.round(jnp.asarray(x) * 255.0), jnp.uint8)
 
 
 class MoveChannelRear:
