@@ -1,4 +1,21 @@
+from pytorchvideo_tpu.models.audio_visual_slowfast import (  # noqa: F401
+    AudioToSlowFastFusionBuilder,
+    FuseAudioToFastSlow,
+    create_audio_visual_slowfast,
+)
+from pytorchvideo_tpu.models.byol import BYOL  # noqa: F401
 from pytorchvideo_tpu.models.csn import create_csn  # noqa: F401
+from pytorchvideo_tpu.models.masked_multistream import (  # noqa: F401
+    LSTM,
+    LearnMaskedDefault,
+    MaskedMultiPathWay,
+    MaskedSequential,
+    MaskedTemporalPooling,
+    TransposeMultiheadAttention,
+    TransposeTransformerEncoder,
+)
+from pytorchvideo_tpu.models.memory_bank import MemoryBank  # noqa: F401
+from pytorchvideo_tpu.models.simclr import SimCLR  # noqa: F401
 from pytorchvideo_tpu.models.head import (  # noqa: F401
     ResNetBasicHead,
     SequencePool,
