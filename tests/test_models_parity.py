@@ -59,12 +59,12 @@ def test_slow_r50_parity():
         model_depth=50,
         model_num_class=40,
         stem_conv_kernel_size=(1, 7, 7),
-        head_pool_kernel_size=(4, 4, 4),
+        head_pool_kernel_size=(4, 2, 2),
         dropout_rate=0.0,
     )
     ref_model = ref_resnet.create_resnet(**kwargs)
     our_model = models.create_resnet(**kwargs)
-    x = _rand_bcthw(1, 3, 4, 128, 128)
+    x = _rand_bcthw(1, 3, 4, 64, 64)
     _run_pair(ref_model, our_model, x)
 
 
@@ -73,13 +73,13 @@ def test_x3d_xs_parity():
     ref_x3d = load_ref("pytorchvideo.models.x3d")
     kwargs = dict(
         input_clip_length=4,
-        input_crop_size=160,
+        input_crop_size=96,
         model_num_class=40,
         dropout_rate=0.0,
     )
     ref_model = ref_x3d.create_x3d(**kwargs)
     our_model = models.create_x3d(**kwargs)
-    x = _rand_bcthw(1, 3, 4, 160, 160)
+    x = _rand_bcthw(1, 3, 4, 96, 96)
     _run_pair(ref_model, our_model, x, rename_rules=X3D_RENAME_RULES)
 
 
@@ -90,21 +90,21 @@ def test_slowfast_r50_parity():
         model_depth=50,
         model_num_class=40,
         dropout_rate=0.0,
-        head_pool_kernel_sizes=((4, 4, 4), (16, 4, 4)),
+        head_pool_kernel_sizes=((4, 2, 2), (16, 2, 2)),
     )
     ref_model = ref_slowfast.create_slowfast(**kwargs)
     our_model = models.create_slowfast(**kwargs)
-    xs = [_rand_bcthw(1, 3, 4, 128, 128), _rand_bcthw(1, 3, 16, 128, 128, seed=1)]
+    xs = [_rand_bcthw(1, 3, 4, 64, 64), _rand_bcthw(1, 3, 16, 64, 64, seed=1)]
     _run_pair(ref_model, our_model, xs, pathways=True)
 
 
 @pytest.mark.slow
 def test_csn_parity():
     ref_csn = load_ref("pytorchvideo.models.csn")
-    kwargs = dict(model_num_class=23, head_pool_kernel_size=(1, 4, 4), dropout_rate=0.0)
+    kwargs = dict(model_num_class=23, head_pool_kernel_size=(1, 2, 2), dropout_rate=0.0)
     ref_model = ref_csn.create_csn(**kwargs)
     our_model = models.create_csn(**kwargs)
-    x = _rand_bcthw(1, 3, 4, 112, 112)
+    x = _rand_bcthw(1, 3, 4, 64, 64)
     _run_pair(ref_model, our_model, x)
 
 
@@ -113,13 +113,13 @@ def test_r2plus1d_parity():
     ref_mod = load_ref("pytorchvideo.models.r2plus1d")
     kwargs = dict(
         model_num_class=19,
-        head_pool_kernel_size=(1, 4, 4),
+        head_pool_kernel_size=(1, 2, 2),
         dropout_rate=0.0,
         stage_temporal_stride=(1, 1, 2, 2),
     )
     ref_model = ref_mod.create_r2plus1d(**kwargs)
     our_model = models.create_r2plus1d(**kwargs)
-    x = _rand_bcthw(1, 3, 4, 128, 128)
+    x = _rand_bcthw(1, 3, 4, 64, 64)
     _run_pair(ref_model, our_model, x)
 
 
@@ -148,8 +148,8 @@ def test_mvit_tiny_parity():
 @pytest.mark.slow
 def test_acoustic_resnet_parity():
     ref_resnet = load_ref("pytorchvideo.models.resnet")
-    kwargs = dict(model_num_class=8, dropout_rate=0.0, head_pool_kernel_size=(4, 1, 2))
+    kwargs = dict(model_num_class=8, dropout_rate=0.0, head_pool_kernel_size=(4, 1, 1))
     ref_model = ref_resnet.create_acoustic_resnet(**kwargs)
     our_model = models.create_acoustic_resnet(**kwargs)
-    x = _rand_bcthw(1, 1, 100, 1, 40)
+    x = _rand_bcthw(1, 1, 64, 1, 24)
     _run_pair(ref_model, our_model, x)

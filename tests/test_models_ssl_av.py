@@ -13,13 +13,13 @@ from pytorchvideo_tpu import models
 def test_audio_visual_slowfast_forward():
     model = models.create_audio_visual_slowfast(
         model_num_class=7,
-        head_pool_kernel_sizes=((4, 2, 2), (16, 2, 2), (8, 1, 4)),
+        head_pool_kernel_sizes=((2, 1, 1), (8, 1, 1), (4, 1, 2)),
     )
-    # slow 4f, fast 16f, audio spectrogram (B, T=64, 1, F=32, C=1)
+    # slow 2f, fast 8f, audio spectrogram (B, T=32, 1, F=16, C=1)
     xs = [
-        jnp.zeros((1, 4, 64, 64, 3)),
-        jnp.zeros((1, 16, 64, 64, 3)),
-        jnp.zeros((1, 64, 1, 32, 1)),
+        jnp.zeros((1, 2, 32, 32, 3)),
+        jnp.zeros((1, 8, 32, 32, 3)),
+        jnp.zeros((1, 32, 1, 16, 1)),
     ]
     variables = model.init(jax.random.PRNGKey(0), xs, False)
     out = model.apply(variables, xs, False)
