@@ -25,5 +25,18 @@ from pytorchvideo_tpu.data.samplers import (  # noqa: F401
     RandomSampler,
     SequentialSampler,
 )
+from pytorchvideo_tpu.data.ava import (  # noqa: F401
+    Ava,
+    AvaLabeledVideoFramePaths,
+    TimeStampClipSampler,
+)
+from pytorchvideo_tpu.data.charades import Charades  # noqa: F401
+from pytorchvideo_tpu.data.hmdb51 import Hmdb51, Hmdb51LabeledVideoPaths  # noqa: F401
+from pytorchvideo_tpu.data.json_dataset import (  # noqa: F401
+    UntrimmedClipSampler,
+    clip_recognition_dataset,
+    video_only_dataset,
+)
+from pytorchvideo_tpu.data.ssv2 import SSv2  # noqa: F401
 from pytorchvideo_tpu.data.ucf101 import Ucf101  # noqa: F401
 from pytorchvideo_tpu.data.video import Video, VideoPathHandler  # noqa: F401
