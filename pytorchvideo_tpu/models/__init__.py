@@ -4,6 +4,12 @@ from pytorchvideo_tpu.models.audio_visual_slowfast import (  # noqa: F401
     create_audio_visual_slowfast,
 )
 from pytorchvideo_tpu.models.byol import BYOL  # noqa: F401
+from pytorchvideo_tpu.models.detection import (  # noqa: F401
+    ResNetRoIHead,
+    create_res_roi_pooling_head,
+    create_resnet_with_roi_head,
+    create_slowfast_with_roi_head,
+)
 from pytorchvideo_tpu.models.csn import create_csn  # noqa: F401
 from pytorchvideo_tpu.models.masked_multistream import (  # noqa: F401
     LSTM,
