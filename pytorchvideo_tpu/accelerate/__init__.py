@@ -1,0 +1,21 @@
+from pytorchvideo_tpu.accelerate.deploy import (  # noqa: F401
+    cast_variables,
+    convert_to_deployable_form,
+    export_stablehlo,
+)
+from pytorchvideo_tpu.accelerate.efficient_blocks import (  # noqa: F401
+    EfficientBlockBase,
+    EfficientX3d,
+    NoOpConvertBlock,
+)
+from pytorchvideo_tpu.accelerate.fuse import fold_conv_bn, fuse_bn_mvit  # noqa: F401
+from pytorchvideo_tpu.accelerate.quantize import (  # noqa: F401
+    dequantize_variables,
+    quantization_error,
+    quantize_variables,
+)
+from pytorchvideo_tpu.accelerate.transmuter import (  # noqa: F401
+    EFFICIENT_BLOCK_TRANSMUTER_REGISTRY,
+    register_transmuter,
+    transmute_model,
+)

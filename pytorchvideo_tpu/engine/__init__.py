@@ -1,0 +1,9 @@
+from pytorchvideo_tpu.engine.engine import NeuralEngine  # noqa: F401
+from pytorchvideo_tpu.engine.hook import (  # noqa: F401
+    FAIL_STRATEGY,
+    HOOK_STATUS,
+    DecodeHook,
+    HookBase,
+    X3DClsHook,
+    full_decode,
+)

@@ -1,0 +1,181 @@
+"""Tests: BN folding equivalence, quantization, transmuter, NeuralEngine.
+
+Mirrors the reference accelerator test strategy (original-form vs
+converted-form numerical equivalence, SURVEY §4).
+"""
+
+import os
+import tempfile
+from collections import OrderedDict
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorchvideo_tpu import models
+from pytorchvideo_tpu.accelerate import (
+    EfficientX3d,
+    convert_to_deployable_form,
+    dequantize_variables,
+    fold_conv_bn,
+    fuse_bn_mvit,
+    quantization_error,
+    quantize_variables,
+    transmute_model,
+)
+
+
+def _tiny_x3d():
+    model = models.create_x3d(
+        input_clip_length=2,
+        input_crop_size=32,
+        model_num_class=5,
+        stem_dim_in=8,
+        dropout_rate=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 2, 32, 32, 3)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(3), x, False)
+    return model, variables, x
+
+
+def test_fold_conv_bn_equivalence():
+    model, variables, x = _tiny_x3d()
+    # perturb batch stats so the fold actually does something
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * np.random.default_rng(0).uniform(size=a.shape).astype(a.dtype),
+        variables["batch_stats"],
+    )
+    ref_out = model.apply(variables, x, False)
+    folded = fold_conv_bn(variables)
+    fold_out = model.apply(folded, x, False)
+    np.testing.assert_allclose(
+        np.asarray(fold_out), np.asarray(ref_out), rtol=1e-4, atol=1e-4
+    )
+    # scales actually moved into kernels: all folded BN scales are 1
+    scales = [
+        np.asarray(v)
+        for path, v in jax.tree_util.tree_flatten_with_path(folded["params"])[0]
+        if any(getattr(p, "key", None) == "scale" for p in path)
+    ]
+    assert all(np.allclose(s, 1.0) for s in scales)
+
+
+def test_fuse_bn_mvit_equivalence():
+    model = models.create_multiscale_vision_transformers(
+        spatial_size=32,
+        temporal_size=2,
+        depth=2,
+        num_heads=2,
+        patch_embed_dim=16,
+        norm="batchnorm",
+        head_num_classes=4,
+        head_dropout_rate=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 2, 32, 32, 3)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * np.random.default_rng(1).uniform(size=a.shape).astype(a.dtype),
+        variables["batch_stats"],
+    )
+    ref_out = model.apply(variables, x, False)
+    fused = fuse_bn_mvit(variables)
+    fused_out = model.apply(fused, x, False)
+    np.testing.assert_allclose(
+        np.asarray(fused_out), np.asarray(ref_out), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_convert_to_deployable_form_runs():
+    model, variables, x = _tiny_x3d()
+    compiled, deploy_vars = convert_to_deployable_form(
+        model, variables, x, dtype=jnp.bfloat16
+    )
+    f32_out = model.apply(variables, x, False)
+    bf16_out = compiled(deploy_vars, jnp.asarray(x, jnp.bfloat16))
+    assert bf16_out.shape == f32_out.shape
+    np.testing.assert_allclose(
+        np.asarray(bf16_out, np.float32), np.asarray(f32_out), atol=0.15, rtol=0.2
+    )
+
+
+def test_quantize_roundtrip():
+    model, variables, x = _tiny_x3d()
+    err = quantization_error(variables)
+    assert err < 0.02  # int8 per-channel: < 1/127 + slack
+    qv = quantize_variables(variables)
+    dq = dequantize_variables(qv, jnp.float32)
+    out_q = model.apply(
+        {"params": dq["params"], "batch_stats": variables["batch_stats"]}, x, False
+    )
+    out = model.apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out), atol=0.2)
+
+
+def test_transmuter():
+    model, variables, x = _tiny_x3d()
+    ref_out = model.apply(variables, x, False)
+    model2, variables2 = transmute_model(model, variables, target_device="tpu")
+    out2 = model2.apply(variables2, jnp.asarray(x, jnp.bfloat16), False)
+    np.testing.assert_allclose(
+        np.asarray(out2, np.float32), np.asarray(ref_out), atol=0.15, rtol=0.2
+    )
+    with pytest.raises(AssertionError):
+        transmute_model(model, variables, target_device="mobile_cpu")
+
+
+def test_efficient_x3d():
+    eff = EfficientX3d(expansion="XS", num_classes=7, stem_dim_in=8)
+    x = jnp.zeros((1, 4, 160, 160, 3))
+    eff.init(jax.random.PRNGKey(0), x)
+    out_train_form = eff(x)
+    eff.convert(x)
+    out_deploy = eff(x)
+    assert out_deploy.shape == out_train_form.shape == (1, 7)
+
+
+def test_neural_engine_topology_and_fail_strategy():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import temp_encoded_video
+
+    from pytorchvideo_tpu.engine import DecodeHook, HookBase, NeuralEngine
+
+    with temp_encoded_video(num_frames=6, fps=3) as (path, data):
+        decode = DecodeHook()
+
+        class MeanHook(HookBase):
+            def __init__(self):
+                super().__init__(inputs=["video"], outputs=["mean"])
+
+            def _run(self, status):
+                return {"mean": float(np.mean(status["video"]))}
+
+        engine = NeuralEngine([MeanHook(), decode])  # order-independent
+        status = engine(path)
+        assert "video" in status and "mean" in status
+        assert status["mean"] == pytest.approx(float(data.mean()))
+
+    class FailingHook(HookBase):
+        def __init__(self, strategy):
+            super().__init__(
+                inputs=["path"], outputs=["thing"], fail_strategy=strategy
+            )
+
+        def _run(self, status):
+            raise RuntimeError("boom")
+
+    out = FailingHook("ZERO_FILL").run(OrderedDict(path="p"))
+    assert np.all(out["thing"] == 0)
+    out = FailingHook("RETURN_NONE").run(OrderedDict(path="p"))
+    assert out["thing"] is None
+    with pytest.raises(RuntimeError):
+        FailingHook("RAISE_ERROR").run(OrderedDict(path="p"))
