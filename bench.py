@@ -1,30 +1,42 @@
 """Benchmark: X3D-S Kinetics-400 inference throughput (clips/sec/chip).
 
-Runs on the real TPU chip (ambient env). The reference publishes no GPU/TPU
-throughput numbers (SURVEY.md §6: docs/source/model_zoo.md has accuracy +
-FLOPs only), so the round-1 figure anchors the baseline; vs_baseline is
-measured against BASELINE_CLIPS_PER_SEC below (set from round-1 results).
+Methodology notes (load-bearing in this environment):
+- The axon TPU tunnel's ``block_until_ready`` does not reliably reflect
+  device completion, so timing uses an on-device ``lax.fori_loop`` chain
+  whose next iteration depends on a full-output reduction of the previous
+  one (DCE-proof, dispatch-free), differencing two trip counts to cancel
+  dispatch/readback overhead.
+- bf16 weights/activations (MXU path); BN folded into running-stat form by
+  eval mode.
+
+The reference publishes no GPU/TPU throughput numbers (SURVEY.md §6), so
+round 1 anchors vs_baseline at BASELINE_CLIPS_PER_SEC (round-1 measured
+value); later rounds must beat it.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
+
+# keep the TPU default but register the CPU backend too: params are
+# initialized host-side (eager init through the tunnel costs minutes).
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+if os.environ["JAX_PLATFORMS"] and "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Anchor throughput for vs_baseline: round-1 measurement on v5e, bf16,
-# batch 64 (~2400 clips/s with pure-XLA convs). Later rounds beat this.
-BASELINE_CLIPS_PER_SEC = 2400.0
+BASELINE_CLIPS_PER_SEC = 2680.0  # round-1 anchor (v5e, batch 64, bf16)
 
 BATCH = 64
 CLIP_LEN = 13
 CROP = 160
-WARMUP = 5
-ITERS = 20
-TRIALS = 3
+N_SMALL = 1
+N_BIG = 11
 
 
 def main():
@@ -32,37 +44,52 @@ def main():
 
     model = hub.x3d_s(model_num_class=400)
     rng = np.random.default_rng(0)
-    x_host = rng.uniform(-1, 1, (BATCH, CLIP_LEN, CROP, CROP, 3)).astype(
-        np.float32
-    )
-    x = jnp.asarray(x_host, jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x_host[:1]), False)
-    # bf16 weights for MXU throughput; BN stats stay f32.
-    variables = {
-        "params": jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16), variables["params"]
+    device = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, CLIP_LEN, CROP, CROP, 3)), False
+        )
+        variables = {
+            "params": jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), variables["params"]
+            ),
+            "batch_stats": variables["batch_stats"],
+        }
+    variables = jax.device_put(variables, device)
+    x = jax.device_put(
+        jnp.asarray(
+            rng.uniform(-1, 1, (BATCH, CLIP_LEN, CROP, CROP, 3)), jnp.bfloat16
         ),
-        "batch_stats": variables["batch_stats"],
-    }
+        device,
+    )
 
     @jax.jit
-    def forward(variables, x):
-        return model.apply(variables, x, False)
+    def loop(variables, x, n):
+        def body(i, carry):
+            xx, acc = carry
+            out = model.apply(variables, xx, False)
+            probe = out.mean().astype(jnp.float32)
+            return (xx + (probe * 1e-24).astype(xx.dtype), acc + probe)
 
-    out = forward(variables, x)
-    out.block_until_ready()
-    for _ in range(WARMUP):
-        forward(variables, x).block_until_ready()
+        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+        return acc
 
-    best_dt = float("inf")
-    for _ in range(TRIALS):
+    # warm both trip counts (compile)
+    float(loop(variables, x, N_SMALL))
+    float(loop(variables, x, N_BIG))
+
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = forward(variables, x)
-        out.block_until_ready()
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        float(loop(variables, x, N_SMALL))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop(variables, x, N_BIG))
+        t_big = time.perf_counter() - t0
+        best = min(best, (t_big - t_small) / (N_BIG - N_SMALL))
 
-    clips_per_sec = BATCH * ITERS / best_dt
+    clips_per_sec = BATCH / best
     print(
         json.dumps(
             {

@@ -1,0 +1,146 @@
+"""Fused pooled-attention kernel (Pallas/TPU) with XLA fallback.
+
+MViT's attention (layers/attention.py scaled_dot_product_attention;
+reference pytorchvideo/layers/attention.py:531-537) is tall-skinny after kv
+pooling: L_q up to ~25k tokens, L_k pooled to a few hundred. K/V therefore
+fit in VMEM, so the kernel is a single pass per q-tile: scores -> row softmax
+-> @V -> (+q residual), never materializing the (L_q, L_k) attention matrix
+in HBM.
+
+Grid: (B*H, L_q tiles). Inputs are padded to MXU-friendly tiles in the
+wrapper; the L_k pad is masked with -inf before softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pallas import kept optional: CPU test envs use interpret mode
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_TILE_Q = 512
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, lk_valid, residual):
+    """One (bh, q-tile) step: softmax(q@k^T * scale) @ v (+q)."""
+    q = q_ref[0]  # (TILE_Q, c)
+    k = k_ref[0]  # (Lk_pad, c)
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale
+    # mask padded keys
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < lk_valid, scores, -jnp.inf)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if residual:
+        out = out + q.astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def pooled_attention_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    residual_pool: bool = False,
+    interpret: bool = False,
+    tile_q: int = _TILE_Q,
+) -> jnp.ndarray:
+    """q/k/v: (B, H, L, c). Returns (B, H, L_q, c)."""
+    B, H, Lq, c = q.shape
+    Lk = k.shape[2]
+
+    qf = _pad_to(_pad_to(q.reshape(B * H, Lq, c), 1, tile_q), 2, 128)
+    kf = _pad_to(_pad_to(k.reshape(B * H, Lk, c), 1, 128), 2, 128)
+    vf = _pad_to(_pad_to(v.reshape(B * H, Lk, c), 1, 128), 2, 128)
+    Lq_pad, c_pad = qf.shape[1], qf.shape[2]
+    Lk_pad = kf.shape[1]
+
+    grid = (B * H, Lq_pad // tile_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _attention_kernel, scale=scale, lk_valid=Lk, residual=residual_pool
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq_pad, c_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_q, c_pad), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, Lk_pad, c_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_pad, c_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_q, c_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :Lq, :c].reshape(B, H, Lq, c)
+
+
+def pooled_attention_xla(q, k, v, scale, residual_pool=False):
+    """Reference XLA path (same math as layers.attention)."""
+    attn = jnp.einsum(
+        "bhqc,bhkc->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
+    if residual_pool:
+        out = out + q
+    return out
+
+
+def pooled_attention(
+    q,
+    k,
+    v,
+    scale,
+    residual_pool: bool = False,
+    use_pallas: Optional[bool] = None,
+):
+    """Dispatch: Pallas on TPU for long sequences, XLA otherwise."""
+    if use_pallas is None:
+        use_pallas = (
+            _HAS_PALLAS
+            and jax.default_backend() == "tpu"
+            and q.shape[2] >= 1024
+        )
+    if use_pallas:
+        return pooled_attention_pallas(q, k, v, scale, residual_pool)
+    return pooled_attention_xla(q, k, v, scale, residual_pool)

@@ -1,0 +1,39 @@
+"""Pallas pooled-attention kernel: interpret-mode parity vs the XLA path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pytorchvideo_tpu.ops.pooled_attention import (
+    pooled_attention,
+    pooled_attention_pallas,
+    pooled_attention_xla,
+)
+
+
+@pytest.mark.parametrize(
+    "B,H,Lq,Lk,c,residual",
+    [
+        (1, 2, 1000, 137, 96, True),
+        (2, 1, 300, 50, 64, False),
+        (1, 4, 513, 1, 32, True),  # singleton kv
+    ],
+)
+def test_pallas_matches_xla(B, H, Lq, Lk, c, residual):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, Lq, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, Lk, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, Lk, c)), jnp.float32)
+    ref = pooled_attention_xla(q, k, v, 0.125, residual)
+    out = pooled_attention_pallas(
+        q, k, v, 0.125, residual, interpret=True, tile_q=256
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_dispatch_default_cpu_uses_xla():
+    q = jnp.zeros((1, 1, 2048, 16))
+    k = jnp.zeros((1, 1, 64, 16))
+    out = pooled_attention(q, k, k, 0.25)
+    assert out.shape == (1, 1, 2048, 16)
