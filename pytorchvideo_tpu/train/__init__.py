@@ -15,3 +15,35 @@ from pytorchvideo_tpu.train.train_loop import (  # noqa: F401
     make_eval_step,
     make_train_step,
 )
+from pytorchvideo_tpu.train.app import VideoClassificationTrainApp  # noqa: F401
+from pytorchvideo_tpu.train.config import (  # noqa: F401
+    DataConfig,
+    MixConfig,
+    ModelConfig,
+    TrainerConfig,
+    VideoClassificationTrainConfig,
+    config_from_dict,
+    config_to_dict,
+    save_config,
+)
+from pytorchvideo_tpu.train.datamodule import (  # noqa: F401
+    VideoClassificationDataModule,
+)
+from pytorchvideo_tpu.train.precise_batchnorm import PreciseBn, update_bn_stats  # noqa: F401
+from pytorchvideo_tpu.train.ssl import (  # noqa: F401
+    KnnMemory,
+    MoCoV2,
+    batch_shuffle,
+    batch_unshuffle,
+    momentum_anneal_cosine,
+)
+from pytorchvideo_tpu.train.transforms import (  # noqa: F401
+    ColorJitterVideoSSl,
+    GaussianBlur,
+    MixVideoBatchWrapper,
+    RandomErasing,
+    RepeatandConverttoList,
+    SlowFastPackPathway,
+    build_collator_from_name,
+    multiple_samples_collate,
+)

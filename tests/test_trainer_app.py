@@ -1,0 +1,182 @@
+"""Trainer layer tests: transforms, precise-BN, SSL utils, and the full
+train app on a synthetic dataset (the reference's trainer test pattern:
+tiny synthetic videos through the real loops,
+pytorchvideo_trainer/tests/test_task_video_classification.py)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fixtures import temp_encoded_video
+from pytorchvideo_tpu import train as T
+
+
+def test_slowfast_pack_pathway():
+    frames = np.random.rand(32, 8, 8, 3).astype(np.float32)
+    slow, fast = T.SlowFastPackPathway(alpha=4)(frames)
+    assert slow.shape[0] == 8 and fast.shape[0] == 32
+
+
+def test_repeat_and_collate():
+    sample = {"video": np.zeros((2, 4, 4, 3)), "label": 3}
+    out = T.RepeatandConverttoList(2)(dict(sample))
+    assert len(out["video"]) == 2
+    batch = T.multiple_samples_collate([out, out])
+    assert batch["video"].shape == (4, 2, 4, 4, 3)
+    assert list(batch["label"]) == [3, 3, 3, 3]
+
+
+def test_color_jitter_ssl_and_blur():
+    frames = np.random.rand(3, 16, 16, 3).astype(np.float32)
+    t = T.ColorJitterVideoSSl(
+        bri_con_sat=[0.6, 0.6, 0.6],
+        hue=0.15,
+        p_color_jitter=1.0,
+        p_convert_gray=0.0,
+        p_gaussian_blur=1.0,
+        seed=0,
+    )
+    out = t(frames)
+    assert out.shape == frames.shape
+    assert not np.allclose(out, frames)
+    gray = T.ColorJitterVideoSSl([0, 0, 0], 0, 0.0, 1.0, 0.0, seed=0)(frames)
+    np.testing.assert_allclose(gray[..., 0], gray[..., 1])
+    blurred = T.GaussianBlur(sigma=[2.0], seed=0)(frames)
+    assert blurred.std() < frames.std()
+
+
+def test_random_erasing_cube():
+    frames = np.ones((4, 20, 20, 3), np.float32)
+    t = T.RandomErasing(probability=1.0, mode="const", cube=True, seed=1)
+    out = t(frames)
+    erased = out == 0
+    assert erased.any()
+    # cube: same erased region on all frames
+    np.testing.assert_array_equal(erased[0], erased[1])
+
+
+def test_momentum_anneal_cosine():
+    assert T.momentum_anneal_cosine(0.99, 0, 100) == pytest.approx(0.99)
+    assert T.momentum_anneal_cosine(0.99, 100, 100) == pytest.approx(1.0)
+
+
+def test_knn_memory():
+    mem = T.KnnMemory(length=50, dim=8, knn_k=5, temperature=0.07, num_classes=3)
+    state = mem.init(jax.random.PRNGKey(0))
+    feats = jnp.eye(8)[:3]
+    labels = jnp.asarray([0, 1, 2])
+    state = mem.update(state, feats, labels, indices=jnp.asarray([0, 1, 2]))
+    scores = mem.knn_predict(state, feats)
+    assert scores.shape == (3, 3)
+    assert list(np.argmax(np.asarray(scores), -1)) == [0, 1, 2]
+
+
+def test_moco_v2():
+    class Enc(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(16)(x)
+
+    moco = T.MoCoV2(Enc(), queue_size=64, dim=16, mmt=0.5)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 10)), jnp.float32)
+    state = moco.init(jax.random.PRNGKey(0), x)
+    loss, keys = moco.loss(state, x, x, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    state2 = moco.dequeue_and_enqueue(state, keys)
+    assert int(state2["queue_ptr"]) == 4
+    state3 = moco.momentum_update(state2)
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state3["momentum"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(state2["momentum"])[0]),
+    ) or np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state2["online"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(state2["momentum"])[0]),
+    )
+
+
+def test_precise_bn_stats_are_batch_means():
+    class BNNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            from pytorchvideo_tpu.layers.norms import BatchNorm
+
+            return BatchNorm()(x, train=train)
+
+    model = BNNet()
+    x1 = jnp.full((4, 3), 2.0)
+    x2 = jnp.full((4, 3), 4.0)
+    variables = model.init(jax.random.PRNGKey(0), x1, False)
+    out = T.update_bn_stats(model, variables, [x1, x2], 2, input_key=None)
+    bn_stats = jax.tree_util.tree_leaves(out["batch_stats"])
+    # mean leaf should equal the batch-mean average (2+4)/2 = 3
+    means = [s for s in bn_stats if np.allclose(np.asarray(s).shape, (3,))]
+    assert any(np.allclose(np.asarray(s), 3.0, rtol=1e-5) for s in means)
+
+
+def _make_csv_dataset(tmpdir, n_videos=2):
+    paths = []
+    ctx = temp_encoded_video(num_frames=12, fps=6, height=48, width=48)
+    path, _ = ctx.__enter__()
+    csv_path = os.path.join(tmpdir, "data.csv")
+    with open(csv_path, "w") as f:
+        for i in range(n_videos):
+            f.write(f"{path} {i % 2}\n")
+    return csv_path, ctx
+
+
+def test_train_app_end_to_end(tmp_path):
+    csv_path, ctx = _make_csv_dataset(str(tmp_path))
+    try:
+        cfg = T.VideoClassificationTrainConfig()
+        cfg.model = T.ModelConfig(
+            name="x3d_xs",
+            num_classes=2,
+            kwargs=dict(stem_dim_in=8, input_clip_length=4, input_crop_size=32),
+            clip_length=4,
+            crop_size=32,
+        )
+        cfg.data = T.DataConfig(
+            data_path=csv_path,
+            clip_duration=1.0,
+            batch_size=2,
+            num_samples=4,
+            min_size=36,
+            max_size=44,
+            crop_size=32,
+        )
+        cfg.optim.lr = 0.01
+        cfg.lr_scheduler.lr = 0.01
+        cfg.lr_scheduler.max_iters = 2
+        cfg.trainer.max_epochs = 1
+        cfg.trainer.precise_bn_batches = 1
+        cfg.trainer.checkpoint_dir = str(tmp_path / "ckpt")
+        os.makedirs(cfg.trainer.checkpoint_dir, exist_ok=True)
+
+        app = T.VideoClassificationTrainApp(cfg, steps_per_epoch=2)
+        history = app.train()
+        assert len(history) >= 1 and np.isfinite(history[0])
+        metrics = app.test()
+        assert "video_top1" in metrics
+
+        # checkpoint roundtrip
+        params_before = jax.tree_util.tree_leaves(app.state.params)[0]
+        app.load_checkpoint(os.path.join(cfg.trainer.checkpoint_dir, "ckpt_0"))
+        params_after = jax.tree_util.tree_leaves(app.state.params)[0]
+        assert params_before.shape == params_after.shape
+    finally:
+        ctx.__exit__(None, None, None)
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = T.VideoClassificationTrainConfig()
+    d = T.config_to_dict(cfg)
+    cfg2 = T.config_from_dict(d)
+    assert cfg2.model.name == cfg.model.name
+    T.save_config(cfg, str(tmp_path / "c.json"))
+    assert (tmp_path / "c.json").exists()
