@@ -22,6 +22,7 @@ logger = logging.getLogger(__name__)
 
 
 class DecoderType:
+    NATIVE = "native"
     OPENCV = "opencv"
     PYAV = "pyav"
     TORCHVISION = "torchvision"
@@ -29,7 +30,19 @@ class DecoderType:
 
 
 def select_video_class(decoder: str):
-    """Reference encoded_video.py:17-39 analogue."""
+    """Reference encoded_video.py:17-39 analogue. ``native`` is the
+    first-party C++/FFmpeg service (data/encoded_video_native.py); opencv is
+    the always-available fallback."""
+    if decoder == DecoderType.NATIVE:
+        from pytorchvideo_tpu.data.encoded_video_native import (
+            EncodedVideoNative,
+            native_available,
+        )
+
+        if native_available():
+            return EncodedVideoNative
+        logger.warning("native decoder unavailable; falling back to OpenCV")
+        return EncodedVideoOpenCV
     if decoder in (DecoderType.OPENCV, DecoderType.TORCHVISION, DecoderType.DECORD):
         # torchvision/decord requests fall through to the one native backend.
         return EncodedVideoOpenCV
