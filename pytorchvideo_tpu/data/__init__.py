@@ -31,6 +31,19 @@ from pytorchvideo_tpu.data.ava import (  # noqa: F401
     TimeStampClipSampler,
 )
 from pytorchvideo_tpu.data.charades import Charades  # noqa: F401
+from pytorchvideo_tpu.data.domsev import (  # noqa: F401
+    DomsevFrameDataset,
+    DomsevVideoDataset,
+    LabelData,
+)
+from pytorchvideo_tpu.data.ego4d import Ego4dImuData, Ego4dMomentsDataset  # noqa: F401
+from pytorchvideo_tpu.data.epic_kitchen import ActionData, EpicKitchenDataset  # noqa: F401
+from pytorchvideo_tpu.data.epic_kitchen_forecasting import (  # noqa: F401
+    EpicKitchenForecasting,
+)
+from pytorchvideo_tpu.data.epic_kitchen_recognition import (  # noqa: F401
+    EpicKitchenRecognition,
+)
 from pytorchvideo_tpu.data.hmdb51 import Hmdb51, Hmdb51LabeledVideoPaths  # noqa: F401
 from pytorchvideo_tpu.data.json_dataset import (  # noqa: F401
     UntrimmedClipSampler,

@@ -141,16 +141,20 @@ class DataclassFieldCaster:
     COMPLEX_INITIALIZER = "DataclassFieldCaster__complex_initializer"
 
     def __post_init__(self) -> None:
+        import typing
+
+        hints = typing.get_type_hints(type(self))
         for f in dataclass_fields(self):
             value = getattr(self, f.name)
+            ftype = hints.get(f.name, f.type)
             if (
                 self.COMPLEX_INITIALIZER in f.metadata
                 and f.metadata[self.COMPLEX_INITIALIZER] is not None
             ):
                 setattr(self, f.name, f.metadata[self.COMPLEX_INITIALIZER](value))
-            elif not isinstance(value, f.type) and f.type is not Any:
+            elif isinstance(ftype, type) and not isinstance(value, ftype):
                 try:
-                    setattr(self, f.name, f.type(value))
+                    setattr(self, f.name, ftype(value))
                 except Exception:
                     pass
 
