@@ -49,3 +49,11 @@ def i3d_r50(**kwargs):
         ),
     )
     return create_resnet(**kwargs)
+
+
+def slow_r50_detection(**kwargs):
+    """Slow R50 4x16 AVA detection (mAP 19.5; reference hub/resnet.py:73-90).
+    Checkpoint: ava/SLOW_4x16_R50_DETECTION.pyth."""
+    from pytorchvideo_tpu.models.detection import create_resnet_with_roi_head
+
+    return create_resnet_with_roi_head(**kwargs)

@@ -45,3 +45,11 @@ def slowfast_16x8_r101_50_50(**kwargs):
     kwargs.setdefault("stage_conv_a_kernel_sizes", stage_conv_a_kernel_sizes)
     kwargs.setdefault("head_pool_kernel_sizes", ((16, 7, 7), (64, 7, 7)))
     return create_slowfast(**kwargs)
+
+
+def slowfast_r50_detection(**kwargs):
+    """SlowFast R50 8x8 AVA detection (mAP 24.67; reference
+    hub/slowfast.py:150-176). Checkpoint: ava/SLOWFAST_8x8_R50_DETECTION.pyth."""
+    from pytorchvideo_tpu.models.detection import create_slowfast_with_roi_head
+
+    return create_slowfast_with_roi_head(**kwargs)
