@@ -62,9 +62,12 @@ class VideoClassificationTrainApp:
         from pytorchvideo_tpu.models import hub
 
         factory = getattr(hub, self.cfg.model.name)
-        return factory(
-            model_num_class=self.cfg.model.num_classes, **self.cfg.model.kwargs
-        )
+        kwargs = dict(self.cfg.model.kwargs)
+        if self.cfg.model.name.startswith("x3d"):
+            # X3D head pools are sized for the input geometry
+            kwargs.setdefault("input_clip_length", self.cfg.model.clip_length)
+            kwargs.setdefault("input_crop_size", self.cfg.model.crop_size)
+        return factory(model_num_class=self.cfg.model.num_classes, **kwargs)
 
     def _example_input(self):
         m = self.cfg.model
