@@ -1,3 +1,8 @@
+from pytorchvideo_tpu.engine.detection_hook import (  # noqa: F401
+    ActionDetectionHook,
+    ImageLoadHook,
+    PeopleDetectionHook,
+)
 from pytorchvideo_tpu.engine.engine import NeuralEngine  # noqa: F401
 from pytorchvideo_tpu.engine.hook import (  # noqa: F401
     FAIL_STRATEGY,

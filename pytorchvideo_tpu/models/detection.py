@@ -160,10 +160,12 @@ def create_resnet_with_roi_head(
     head_spatial_resolution: Tuple[int, int] = (7, 7),
     head_spatial_scale: float = 1.0 / 16.0,
     head_sampling_ratio: int = 0,
+    stage_depths: Optional[Tuple[int, ...]] = None,
 ) -> DetectionBBoxNetwork:
     """Slow-R50 AVA detection model (reference resnet.py:844-1019):
     dilated res5, stride-1 final stage, RoI head over keyframe features."""
     model = create_resnet(
+        stage_depths=stage_depths,
         input_channel=input_channel,
         model_depth=model_depth,
         model_num_class=model_num_class,
@@ -188,8 +190,9 @@ def create_resnet_with_roi_head(
         bottleneck=bottleneck,
         head=None,
     )
+    n_stages = len(stage_depths or _MODEL_STAGE_DEPTH[model_depth])
     head_module = head(
-        in_features=stem_dim_out * 2 ** (len(_MODEL_STAGE_DEPTH[model_depth]) + 1),
+        in_features=stem_dim_out * 2 ** (n_stages + 1),
         out_features=model_num_class,
         pool=head_pool,
         output_size=head_output_size,
@@ -252,9 +255,11 @@ def create_slowfast_with_roi_head(
     head_spatial_resolution: Tuple[int, int] = (7, 7),
     head_spatial_scale: float = 1.0 / 16.0,
     head_sampling_ratio: int = 0,
+    stage_depths: Optional[Tuple[int, ...]] = None,
 ) -> DetectionBBoxNetwork:
     """SlowFast AVA detection model (reference slowfast.py:364-582)."""
     model = create_slowfast(
+        stage_depths=stage_depths,
         slowfast_channel_reduction_ratio=slowfast_channel_reduction_ratio,
         slowfast_conv_channel_fusion_ratio=slowfast_conv_channel_fusion_ratio,
         slowfast_fusion_conv_kernel_size=slowfast_fusion_conv_kernel_size,
@@ -284,7 +289,7 @@ def create_slowfast_with_roi_head(
         head_pool_kernel_sizes=head_pool_kernel_sizes,
     )
     stage_dim_out = stem_dim_outs[0] * 2 ** (
-        len(_MODEL_STAGE_DEPTH[model_depth]) + 1
+        len(stage_depths or _MODEL_STAGE_DEPTH[model_depth]) + 1
     )
     slow_fast_beta = stem_dim_outs[0] // stem_dim_outs[1]
     head_in_features = stage_dim_out + stage_dim_out // slow_fast_beta

@@ -460,10 +460,15 @@ def create_resnet(
     head_output_size: Tuple[int, int, int] = (1, 1, 1),
     head_activation: Optional[Callable] = None,
     head_output_with_global_average: bool = True,
+    stage_depths: Optional[Tuple[int, ...]] = None,
 ) -> Net:
-    """Build Slow/I3D/C2D-style ResNets (reference resnet.py:601-841)."""
-    assert model_depth in _MODEL_STAGE_DEPTH, f"{model_depth} unsupported"
-    stage_depths = _MODEL_STAGE_DEPTH[model_depth]
+    """Build Slow/I3D/C2D-style ResNets (reference resnet.py:601-841).
+
+    `stage_depths` overrides the depth table (extension beyond the
+    reference's fixed 50/101/152 — e.g. (1, 1, 1, 1) for tiny configs)."""
+    if stage_depths is None:
+        assert model_depth in _MODEL_STAGE_DEPTH, f"{model_depth} unsupported"
+        stage_depths = _MODEL_STAGE_DEPTH[model_depth]
 
     if isinstance(stage_conv_a_kernel_size[0], int):
         stage_conv_a_kernel_size = (stage_conv_a_kernel_size,) * len(stage_depths)

@@ -154,11 +154,14 @@ def create_slowfast(
     head_output_size: Tuple[int, int, int] = (1, 1, 1),
     head_activation: Optional[Callable] = None,
     head_output_with_global_average: bool = True,
+    stage_depths: Optional[Tuple[int, ...]] = None,
 ) -> Net:
-    """Builder (reference slowfast.py:20-363)."""
+    """Builder (reference slowfast.py:20-363). `stage_depths` overrides the
+    depth table (extension; e.g. (1, 1, 1, 1) for tiny configs)."""
     _num_pathway = len(input_channels)
-    assert model_depth in _MODEL_STAGE_DEPTH, f"{model_depth} unsupported"
-    stage_depths = _MODEL_STAGE_DEPTH[model_depth]
+    if stage_depths is None:
+        assert model_depth in _MODEL_STAGE_DEPTH, f"{model_depth} unsupported"
+        stage_depths = _MODEL_STAGE_DEPTH[model_depth]
 
     if isinstance(slowfast_channel_reduction_ratio, int):
         slowfast_channel_reduction_ratio = (slowfast_channel_reduction_ratio,)

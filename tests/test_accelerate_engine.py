@@ -179,3 +179,30 @@ def test_neural_engine_topology_and_fail_strategy():
     assert out["thing"] is None
     with pytest.raises(RuntimeError):
         FailingHook("RAISE_ERROR").run(OrderedDict(path="p"))
+
+
+def test_detection_hooks_pipeline():
+    from pytorchvideo_tpu.engine import (
+        ActionDetectionHook,
+        NeuralEngine,
+        PeopleDetectionHook,
+    )
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    video = rng.integers(0, 255, (4, 48, 64, 3)).astype(np.float32)
+
+    people = PeopleDetectionHook()
+    action = ActionDetectionHook(
+        model_name="slow_r50_detection",
+        num_frames=4,
+        side_size=56,
+        crop_size=56,
+        stage_depths=(1, 1, 1, 1),
+    )
+    # people hook consumes loaded_image; feed it directly (no image file)
+    engine = NeuralEngine([people, action])
+    status = OrderedDict(loaded_image=frame, video=video)
+    out = engine.run(status)
+    assert out["bbox_coordinates"].shape == (1, 4)
+    assert out["action_scores"].shape[0] == 1  # one box -> one score row

@@ -68,6 +68,7 @@ def test_resnet_with_roi_head_forward():
         model_num_class=6,
         head_pool_kernel_size=(4, 1, 1),
         head_spatial_scale=1.0 / 16.0,
+        stage_depths=(1, 1, 1, 1),
     )
     x = jnp.zeros((1, 4, 64, 64, 3))
     bboxes = jnp.asarray([[0, 0.0, 0.0, 60.0, 60.0], [0, 8.0, 8.0, 32.0, 32.0]])
@@ -82,6 +83,7 @@ def test_slowfast_with_roi_head_forward():
     model = models.create_slowfast_with_roi_head(
         model_num_class=4,
         head_pool_kernel_sizes=((4, 1, 1), (16, 1, 1)),
+        stage_depths=(1, 1, 1, 1),
     )
     xs = [jnp.zeros((1, 4, 64, 64, 3)), jnp.zeros((1, 16, 64, 64, 3))]
     bboxes = jnp.asarray([[0, 0.0, 0.0, 32.0, 32.0]])

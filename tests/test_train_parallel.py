@@ -31,6 +31,7 @@ def _tiny_model():
         input_crop_size=32,
         model_num_class=5,
         stem_dim_in=8,
+        depth_factor=0.1,  # 1 block per stage: keeps train-step compiles fast
         dropout_rate=0.0,
     )
 

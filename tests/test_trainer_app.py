@@ -137,7 +137,12 @@ def test_train_app_end_to_end(tmp_path):
         cfg.model = T.ModelConfig(
             name="x3d_xs",
             num_classes=2,
-            kwargs=dict(stem_dim_in=8, input_clip_length=4, input_crop_size=32),
+            kwargs=dict(
+                stem_dim_in=8,
+                input_clip_length=4,
+                input_crop_size=32,
+                depth_factor=0.1,  # 1 block/stage: keep e2e compile fast
+            ),
             clip_length=4,
             crop_size=32,
         )
