@@ -3,6 +3,18 @@ from pytorchvideo_tpu.accelerate.deploy import (  # noqa: F401
     convert_to_deployable_form,
     export_stablehlo,
 )
+from pytorchvideo_tpu.accelerate.conv_blocks import (  # noqa: F401
+    AdaptiveAvgPool3dOutSize1,
+    Conv3d3x1x1BnAct,
+    Conv3d3x3x3DwBnAct,
+    Conv3d5x1x1BnAct,
+    Conv3dPwBnAct,
+    Conv3dTemporalKernel1BnAct,
+    FullyConnected,
+    SqueezeExcitation,
+    X3dBottleneckBlock,
+    supported_act_functions,
+)
 from pytorchvideo_tpu.accelerate.efficient_blocks import (  # noqa: F401
     EfficientBlockBase,
     EfficientX3d,

@@ -47,3 +47,4 @@ from pytorchvideo_tpu.train.transforms import (  # noqa: F401
     build_collator_from_name,
     multiple_samples_collate,
 )
+from pytorchvideo_tpu.train.presets import PRESETS, get_preset  # noqa: F401,E402

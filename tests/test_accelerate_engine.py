@@ -206,3 +206,46 @@ def test_detection_hooks_pipeline():
     out = engine.run(status)
     assert out["bbox_coordinates"].shape == (1, 4)
     assert out["action_scores"].shape[0] == 1  # one box -> one score row
+
+
+def test_efficient_conv_blocks_convert_equivalence():
+    from pytorchvideo_tpu.accelerate import (
+        AdaptiveAvgPool3dOutSize1,
+        Conv3d3x3x3DwBnAct,
+        Conv3dPwBnAct,
+        FullyConnected,
+        SqueezeExcitation,
+        X3dBottleneckBlock,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3, 6, 6, 8)), jnp.float32)
+
+    for block in [
+        Conv3dPwBnAct(8, 12, activation="swish"),
+        Conv3d3x3x3DwBnAct(8, activation="hswish"),
+        SqueezeExcitation(8, reduction_ratio=2.0),
+        X3dBottleneckBlock(8, 16, 8),
+    ]:
+        block.init(jax.random.PRNGKey(0), x)
+        # make BN stats non-trivial so folding is actually exercised
+        if "batch_stats" in block.variables:
+            for _ in range(2):
+                _, mut = block.model.apply(
+                    block.variables, x, True, mutable=["batch_stats"]
+                )
+                block.variables = {**block.variables, **mut}
+        ref = block(x)  # train-form eval
+        block.convert(x, dtype=None)  # fold BN, keep f32 for comparison
+        out = block(x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+        )
+
+    pool = AdaptiveAvgPool3dOutSize1()
+    pool.init(jax.random.PRNGKey(0), x)
+    assert pool(x).shape == (2, 1, 1, 1, 8)
+
+    fc = FullyConnected(8, 3)
+    fc.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))
+    assert fc(jnp.zeros((2, 8))).shape == (2, 3)

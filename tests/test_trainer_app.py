@@ -185,3 +185,26 @@ def test_config_roundtrip(tmp_path):
     assert cfg2.model.name == cfg.model.name
     T.save_config(cfg, str(tmp_path / "c.json"))
     assert (tmp_path / "c.json").exists()
+
+
+def test_presets():
+    from pytorchvideo_tpu.train.presets import PRESETS, get_preset
+
+    for name in [
+        "classification_slow_8x8_r50",
+        "classification_slowfast_8x8_r50",
+        "classification_x3d_xs",
+        "classification_mvit_16x4",
+    ]:
+        cfg = get_preset(name)
+        assert cfg.lr_scheduler.lr == cfg.optim.lr
+    cfg = get_preset("classification_x3d_xs", **{"optim.lr": 0.1})
+    assert cfg.optim.lr == 0.1
+    assert get_preset("classification_mvit_16x4").mix.enabled
+    with pytest.raises(AttributeError):
+        get_preset("classification_x3d_xs", **{"optim.nope": 1})
+    with pytest.raises(KeyError):
+        get_preset("nope")
+    ssl = get_preset("moco_v2_train_app_conf")
+    assert ssl["k"] == 65536 and ssl["batch_shuffle"]
+    assert len(PRESETS) == 7
