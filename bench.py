@@ -6,8 +6,11 @@ Methodology notes (load-bearing in this environment):
   whose next iteration depends on a full-output reduction of the previous
   one (DCE-proof, dispatch-free), differencing two trip counts to cancel
   dispatch/readback overhead.
-- bf16 weights/activations (MXU path); BN folded into running-stat form by
-  eval mode.
+- bf16 weights/activations (MXU path); deploy-form weights (accelerate
+  fold_conv_bn folds the BN affine into conv kernels — the framework's
+  production inference path, ~1.7% over plain eval).
+- batch 128 (measured sweet spot on one chip: 64→2850, 128→3750,
+  256→3570 clips/s).
 
 The reference publishes no GPU/TPU throughput numbers (SURVEY.md §6), so
 round 1 anchors vs_baseline at BASELINE_CLIPS_PER_SEC (round-1 measured
@@ -32,11 +35,11 @@ import numpy as np
 
 BASELINE_CLIPS_PER_SEC = 2680.0  # round-1 anchor (v5e, batch 64, bf16)
 
-BATCH = 64
+BATCH = 128
 CLIP_LEN = 13
 CROP = 160
 N_SMALL = 1
-N_BIG = 11
+N_BIG = 9
 
 
 def main():
@@ -46,10 +49,13 @@ def main():
     rng = np.random.default_rng(0)
     device = jax.devices()[0]
     cpu = jax.devices("cpu")[0]
+    from pytorchvideo_tpu.accelerate import fold_conv_bn
+
     with jax.default_device(cpu):
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, CLIP_LEN, CROP, CROP, 3)), False
         )
+        variables = fold_conv_bn(variables)  # deploy form
         variables = {
             "params": jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16), variables["params"]
