@@ -203,6 +203,26 @@ class VideoClassificationTrainApp:
         gts = np.asarray([labels[v] for v in seen])
         return {"video_top1": float((preds == gts).mean())}
 
+    def predict(self, max_batches: Optional[int] = None):
+        """Per-clip prediction pass (reference train_app.py:184-209 predict
+        mode): yields dicts of logits + clip metadata from the val set."""
+        assert self.state is not None, "call setup()/train() first"
+        out = []
+        for n, batch in enumerate(self.datamodule.val_dataloader(None)):
+            if max_batches is not None and n >= max_batches:
+                break
+            db = self._device_batch(batch)
+            logits = self._eval_step(self.state, db)
+            out.append(
+                {
+                    "logits": np.asarray(logits),
+                    "video_index": np.asarray(batch["video_index"]),
+                    "clip_index": np.asarray(batch.get("clip_index", [])),
+                    "label": np.asarray(batch["label"]),
+                }
+            )
+        return out
+
     def save_checkpoint(self, step: int):
         import orbax.checkpoint as ocp
 
