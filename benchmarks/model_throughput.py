@@ -23,16 +23,17 @@ import jax.numpy as jnp
 import numpy as np
 
 CONFIGS = [
-    # (name, factory, input shape(s) (B,T,H,W,C), batch)
-    ("x3d_xs", "x3d_xs", (4, 160), 64),
-    ("x3d_s", "x3d_s", (13, 160), 64),
-    ("slow_r50", "slow_r50", (8, 224), 32),
-    ("slowfast_r50", "slowfast_r50", None, 16),
-    ("mvit_base_16x4", "mvit_base_16x4", (16, 224), 8),
+    # (name, factory, input shape(s) (T, crop), batch)
+    ("x3d_xs", "x3d_xs", (4, 160), 256),
+    ("x3d_s", "x3d_s", (13, 160), 128),
+    ("slow_r50", "slow_r50", (8, 224), 64),
+    ("slowfast_r50", "slowfast_r50", None, 32),
+    ("mvit_base_16x4", "mvit_base_16x4", (16, 224), 16),
 ]
 
 
 def bench_model(name, factory_name, geom, batch):
+    from pytorchvideo_tpu.accelerate import fold_conv_bn, fuse_bn_mvit
     from pytorchvideo_tpu.models import hub
     from pytorchvideo_tpu.utils.profiling import time_jitted
 
@@ -58,6 +59,11 @@ def bench_model(name, factory_name, geom, batch):
 
     with jax.default_device(cpu):
         variables = model.init(jax.random.PRNGKey(0), example, False)
+        # deploy form: fold BN affine into conv/linear weights
+        if "mvit" in name:
+            variables = fuse_bn_mvit(variables) if "batch_stats" in variables else variables
+        elif "batch_stats" in variables:
+            variables = fold_conv_bn(variables)
         variables = {
             "params": jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16), variables["params"]

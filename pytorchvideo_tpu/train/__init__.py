@@ -48,3 +48,4 @@ from pytorchvideo_tpu.train.transforms import (  # noqa: F401
     multiple_samples_collate,
 )
 from pytorchvideo_tpu.train.presets import PRESETS, get_preset  # noqa: F401,E402
+from pytorchvideo_tpu.train.logger import MetricsLogger  # noqa: F401,E402

@@ -136,7 +136,11 @@ class VideoClassificationTrainApp:
         if self.state is None:
             self.setup(rng)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        from pytorchvideo_tpu.train.logger import MetricsLogger
+
+        mlog = MetricsLogger(self.cfg.trainer.log_dir)
         history = []
+        global_step = 0
         for epoch in range(self.cfg.trainer.max_epochs):
             t0 = time.time()
             for step, batch in enumerate(
@@ -148,9 +152,12 @@ class VideoClassificationTrainApp:
                 if step % self.cfg.trainer.log_every_n_steps == 0:
                     loss = float(metrics["loss"])
                     history.append(loss)
-                    logger.info(
-                        "epoch %d step %d loss %.4f", epoch, step, loss
+                    mlog.log(
+                        {k: v for k, v in metrics.items()},
+                        step=global_step,
+                        epoch=epoch,
                     )
+                global_step += 1
             if self.cfg.trainer.precise_bn_batches > 0:
                 variables = {
                     "params": self.state.params,
@@ -173,6 +180,7 @@ class VideoClassificationTrainApp:
             logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
             if self.cfg.trainer.checkpoint_dir:
                 self.save_checkpoint(epoch)
+        mlog.close()
         return history
 
     def test(self, num_videos: Optional[int] = None) -> Dict[str, float]:

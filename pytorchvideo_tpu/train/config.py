@@ -61,6 +61,7 @@ class TrainerConfig:
     clip_grad_norm: Optional[float] = None
     precise_bn_batches: int = 0
     checkpoint_dir: Optional[str] = None
+    log_dir: Optional[str] = None  # MetricsLogger jsonl output
     log_every_n_steps: int = 10
     test_ensemble_method: str = "sum"
 
