@@ -208,3 +208,20 @@ def test_presets():
     ssl = get_preset("moco_v2_train_app_conf")
     assert ssl["k"] == 65536 and ssl["batch_shuffle"]
     assert len(PRESETS) == 7
+
+
+def test_metrics_logger(tmp_path):
+    mlog = T.MetricsLogger(str(tmp_path))
+    mlog.log({"loss": 1.5}, step=0, epoch=0)
+    mlog.log({"loss": jnp.asarray(0.5)}, step=1)
+    mlog.close()
+    import json
+
+    lines = [
+        json.loads(ln)
+        for ln in open(tmp_path / "metrics.jsonl").read().splitlines()
+    ]
+    assert lines[0]["loss"] == 1.5 and lines[0]["epoch"] == 0
+    assert lines[1]["loss"] == 0.5 and "epoch" not in lines[1]
+    # no log_dir: stdout-only, no crash
+    T.MetricsLogger(None).log({"a": 1}, step=0)
