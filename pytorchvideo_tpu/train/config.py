@@ -41,6 +41,7 @@ class DataConfig:
     max_size: int = 320
     crop_size: int = 224
     aug_type: str = "default"
+    val_3crop: bool = False  # model-zoo "x3 views": left/center/right crops
     video_mean: Tuple[float, float, float] = (0.45, 0.45, 0.45)
     video_std: Tuple[float, float, float] = (0.225, 0.225, 0.225)
     decoder: str = "opencv"

@@ -25,6 +25,10 @@ from pytorchvideo_tpu.train.transforms import SlowFastPackPathway, default_colla
 from pytorchvideo_tpu.transforms import (
     ApplyTransformToKey,
     Compose,
+    Normalize,
+    ShortSideScale,
+    UniformCropVideo,
+    UniformTemporalSubsample,
     create_video_transform,
 )
 
@@ -50,6 +54,35 @@ class VideoClassificationDataModule:
         self.num_workers = num_workers
 
     def _transform(self, mode: str) -> Callable:
+        if mode != "train" and self.cfg.val_3crop:
+            # model-zoo "x3 views": short-side scale to crop_size, then
+            # left/center/right crops keyed by the sampler's aug_index
+            t = Compose(
+                [
+                    UniformTemporalSubsample(self.cfg.num_samples),
+                    Normalize(self.cfg.video_mean, self.cfg.video_std),
+                    ShortSideScale(self.cfg.crop_size),
+                ]
+            )
+            steps = [
+                ApplyTransformToKey(
+                    "video", Compose([lambda v: np.asarray(v) / 255.0, t])
+                ),
+                UniformCropVideo(self.cfg.crop_size),
+            ]
+            if self.model_cfg.slowfast_alpha:
+                steps.append(
+                    ApplyTransformToKey(
+                        "video",
+                        SlowFastPackPathway(self.model_cfg.slowfast_alpha),
+                    )
+                )
+            steps.append(
+                _keep_keys(
+                    ["video", "label", "video_index", "clip_index", "aug_index"]
+                )
+            )
+            return Compose(steps)
         t = create_video_transform(
             mode,
             num_samples=self.cfg.num_samples,
@@ -87,6 +120,7 @@ class VideoClassificationDataModule:
                 "constant_clips_per_video",
                 self.cfg.clip_duration,
                 self.cfg.clips_per_video,
+                3 if self.cfg.val_3crop else 1,  # augs_per_clip = views
             )
         )
         return labeled_video_dataset(
