@@ -119,7 +119,15 @@ def _identity_bn(bn_p, bn_s, eps):
 
 
 def fuse_bn_mvit(variables: Dict, eps: float = 1e-5) -> Dict:
-    """MViT BN-variant folding (reference vision_transformers.py:96-170)."""
+    """MViT BN-variant folding (reference vision_transformers.py:96-170).
+
+    norm1/norm2 folds are exact always. The per-head attention-pool BN fold
+    into the q/k/v projection is exact only without a cls token (the BN
+    applies to grid tokens but not cls; the reference fuses it anyway and
+    only tests with ``cls_embed_on=False``, tests/test_fuse_bn.py:26). With
+    a cls token present we skip the pool-norm fold and leave those BNs in
+    place, so the fused model stays bit-equivalent in every configuration.
+    """
     variables = copy.deepcopy(
         {
             "params": jnp_to_np(variables["params"]),
@@ -128,6 +136,7 @@ def fuse_bn_mvit(variables: Dict, eps: float = 1e-5) -> Dict:
     )
     params = variables["params"]
     stats = variables["batch_stats"]
+    has_cls = "cls_token" in params.get("cls_positional_encoding", {})
 
     def fold_before(bn_p, bn_s, dense):
         """y = dense(bn(x)): kernel (in,out) -> scale rows."""
@@ -165,8 +174,11 @@ def fuse_bn_mvit(variables: Dict, eps: float = 1e-5) -> Dict:
                 fold_before(n1_p, n1_s, attn[t])
             _identity_bn(n1_p, n1_s, eps)
 
-        # attention pool norms -> after q/k/v projections (per-head)
-        for t, pool_name in (("q", "pool_q"), ("k", "pool_k"), ("v", "pool_v")):
+        # attention pool norms -> after q/k/v projections (per-head).
+        # Only exact without a cls token (the pool BN skips cls but the
+        # projection does not); keep the BN when a cls token exists.
+        for t, pool_name in () if has_cls else (
+            ("q", "pool_q"), ("k", "pool_k"), ("v", "pool_v")):
             pool = attn.get(pool_name)
             if pool is None:
                 continue

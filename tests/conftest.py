@@ -10,11 +10,24 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Force CPU: the ambient environment may point JAX_PLATFORMS at the tunneled
+# Force CPU: the ambient environment points JAX_PLATFORMS at the tunneled
 # TPU, which makes eager unit-test ops cross the tunnel (minutes instead of
-# seconds) and would race the benchmark for the single real chip.
+# seconds) and would race the benchmark for the single real chip. The env
+# var alone is not enough — the axon sitecustomize hook registers its PJRT
+# plugin at interpreter boot with JAX_PLATFORMS=axon baked into the env —
+# so override through jax.config (wins as long as no backend has
+# initialized yet, which is guaranteed here: conftest runs first).
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
@@ -36,8 +49,3 @@ def pytest_unconfigure(config):
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(_EXIT_STATUS[0])
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()

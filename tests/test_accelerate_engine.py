@@ -65,7 +65,11 @@ def test_fold_conv_bn_equivalence():
     assert all(np.allclose(s, 1.0) for s in scales)
 
 
-def test_fuse_bn_mvit_equivalence():
+@pytest.mark.parametrize("cls_embed_on", [False, True])
+def test_fuse_bn_mvit_equivalence(cls_embed_on):
+    # Reference protocol tests only cls_embed_on=False (tests/test_fuse_bn.py:26),
+    # where the pool-norm fold is exact; with a cls token our fuse skips the
+    # pool norms and must stay exact too.
     model = models.create_multiscale_vision_transformers(
         spatial_size=32,
         temporal_size=2,
@@ -75,6 +79,10 @@ def test_fuse_bn_mvit_equivalence():
         norm="batchnorm",
         head_num_classes=4,
         head_dropout_rate=0.0,
+        cls_embed_on=cls_embed_on,
+        pool_q_stride_size=[[0, 1, 2, 2]],
+        pool_kv_stride_size=[[0, 1, 2, 2], [1, 1, 2, 2]],
+        pool_kvq_kernel=(3, 3, 3),
     )
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(2, 2, 32, 32, 3)), jnp.float32
