@@ -4,7 +4,14 @@ from pytorchvideo_tpu.accelerate.deploy import (  # noqa: F401
     export_stablehlo,
 )
 from pytorchvideo_tpu.accelerate.conv_blocks import (  # noqa: F401
+    AdaptiveAvgPool2d,
+    AdaptiveAvgPool2dOutSize1,
+    AdaptiveAvgPool3d,
     AdaptiveAvgPool3dOutSize1,
+    HardSwish,
+    Identity,
+    ReLU,
+    Swish,
     Conv3d3x1x1BnAct,
     Conv3d3x3x3DwBnAct,
     Conv3d5x1x1BnAct,

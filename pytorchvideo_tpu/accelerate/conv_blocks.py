@@ -281,6 +281,89 @@ def AdaptiveAvgPool3dOutSize1() -> _EfficientConvBlock:
     return _EfficientConvBlock(_AdaptiveAvgPoolOut1())
 
 
+class _AdaptiveAvgPool2dOut1(nn.Module):
+    """(..., H, W, C) -> global spatial average (reference pool.py:45-75)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return x.mean(axis=(-3, -2), keepdims=True)
+
+
+def AdaptiveAvgPool2dOutSize1() -> _EfficientConvBlock:
+    return _EfficientConvBlock(_AdaptiveAvgPool2dOut1())
+
+
+class _AdaptiveAvgPoolAny(nn.Module):
+    """Adaptive average pool to an arbitrary output size over the last
+    ``ndim`` spatial axes (reference pool.py:78-115 NoOpConvertBlocks —
+    nothing to convert; XLA emits a reduce_window per output cell)."""
+
+    output_size: Tuple[int, ...]
+    ndim: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = x
+        spatial_start = x.ndim - 1 - self.ndim
+        for i, target in enumerate(self.output_size):
+            axis = spatial_start + i
+            n = out.shape[axis]
+            assert n % target == 0, (
+                f"adaptive pool needs divisible sizes, got {n} -> {target}"
+            )
+            shape = (
+                out.shape[:axis]
+                + (target, n // target)
+                + out.shape[axis + 1 :]
+            )
+            out = out.reshape(shape).mean(axis=axis + 1)
+        return out
+
+
+def AdaptiveAvgPool3d(output_size) -> _EfficientConvBlock:
+    if isinstance(output_size, int):
+        output_size = (output_size,) * 3
+    return _EfficientConvBlock(
+        _AdaptiveAvgPoolAny(output_size=tuple(output_size), ndim=3)
+    )
+
+
+def AdaptiveAvgPool2d(output_size) -> _EfficientConvBlock:
+    if isinstance(output_size, int):
+        output_size = (output_size,) * 2
+    return _EfficientConvBlock(
+        _AdaptiveAvgPoolAny(output_size=tuple(output_size), ndim=2)
+    )
+
+
+class _Act(nn.Module):
+    """Activation as a module (reference activation_functions.py:31-95
+    exposes Swish/HardSwish/ReLU/Identity as EfficientBlocks; convert() is
+    numeric-identity under XLA, which fuses the elementwise op anyway)."""
+
+    activation: str
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return supported_act_functions[self.activation](x)
+
+
+def Swish() -> _EfficientConvBlock:
+    return _EfficientConvBlock(_Act(activation="swish"))
+
+
+def HardSwish() -> _EfficientConvBlock:
+    return _EfficientConvBlock(_Act(activation="hswish"))
+
+
+def ReLU() -> _EfficientConvBlock:
+    return _EfficientConvBlock(_Act(activation="relu"))
+
+
+def Identity() -> _EfficientConvBlock:
+    return _EfficientConvBlock(_Act(activation="identity"))
+
+
 class _FC(nn.Module):
     features: int
     bias: bool = True

@@ -62,7 +62,7 @@ def fold_conv_bn(variables: Dict, eps: float = 1e-5) -> Dict:
     """Fold every known conv+BN sibling pair across the variables tree."""
     variables = copy.deepcopy(
         {
-            "params": jnp_to_np(variables["params"]),
+            "params": jnp_to_np(variables.get("params", {})),
             "batch_stats": jnp_to_np(variables.get("batch_stats", {})),
         }
     )

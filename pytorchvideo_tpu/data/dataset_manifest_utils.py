@@ -231,3 +231,33 @@ def get_seconds_from_hms_time(time_str: str) -> float:
         except ValueError:
             continue
     raise ValueError(f"No valid data format found for provided string {time_str}.")
+
+
+def save_encoded_video_manifest(
+    encoded_video_infos: Dict[str, EncodedVideoInfo], file_name: str = None
+) -> str:
+    """Save an encoded-video manifest as headered csv; returns the path
+    (reference dataset_manifest_utils.py:269-290)."""
+    file_name = (
+        f"{os.getcwd()}/encoded_video_manifest.csv"
+        if file_name is None
+        else file_name
+    )
+    save_dataclass_objs_to_headered_csv(
+        list(encoded_video_infos.values()), file_name
+    )
+    return file_name
+
+
+def save_video_frame_info(
+    video_frames: Dict[str, VideoFrameInfo], file_name: str = None
+) -> str:
+    """Save a frame-video manifest as headered csv; returns the path
+    (reference dataset_manifest_utils.py:293-314)."""
+    file_name = (
+        f"{os.getcwd()}/video_frame_metadata.csv"
+        if file_name is None
+        else file_name
+    )
+    save_dataclass_objs_to_headered_csv(list(video_frames.values()), file_name)
+    return file_name

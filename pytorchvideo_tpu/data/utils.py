@@ -199,3 +199,22 @@ def save_dataclass_objs_to_headered_csv(dataclass_objs: List, file_name: str):
         writer.writerow(field_names)
         for obj in dataclass_objs:
             writer.writerow([getattr(obj, name) for name in field_names])
+
+
+def get_logger(name: str):
+    """INFO-level stdout logger (reference data/utils.py:390-400)."""
+    import logging
+    import sys
+
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    if not logger.hasHandlers():
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(
+            logging.Formatter(
+                "[%(asctime)s] %(levelname)s %(message)s \t[%(filename)s.%(funcName)s:%(lineno)d]",  # noqa
+                datefmt="%y%m%d %H:%M:%S",
+            )
+        )
+        logger.addHandler(sh)
+    return logger

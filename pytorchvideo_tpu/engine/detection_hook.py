@@ -43,6 +43,140 @@ class ImageLoadHook(HookBase):
         return {"loaded_image": self.executor(status["image_path"])}
 
 
+#: reference detection_hook.py:20-24 — default keypoint model config.
+#: backend "torchvision" replaces detectron2 (CUDA-bound); the COCO person
+#: class index stays 0 there vs 1 in torchvision, handled in the executors.
+model_config = {
+    "backend": "torchvision",
+    "model": "keypointrcnn_resnet50_fpn",
+    "threshold": 0.7,
+}
+
+#: reference detection_hook.py:113-117.
+det_models = {
+    "faster_rcnn_R_50_C4": "fasterrcnn_resnet50_fpn",
+    "faster_rcnn_R_50_FPN": "fasterrcnn_resnet50_fpn",
+    "fasterrcnn_resnet50_fpn": "fasterrcnn_resnet50_fpn",
+}
+
+
+def generate_predictor(model_config: dict, *args):
+    """Build a person/keypoint predictor from a model config
+    (reference detection_hook.py:27-42, detectron2 DefaultPredictor).
+
+    Here the backend is torchvision's detection zoo (CPU torch). Returns a
+    callable ``image (HWC uint8 RGB) -> {"boxes", "scores", "labels",
+    ["keypoints"]}`` with score thresholding applied.
+    """
+    if model_config["backend"] != "torchvision":
+        raise ValueError(
+            f"Unsupported backend {model_config['backend']!r}; inject a "
+            "custom predictor callable instead."
+        )
+    import torch
+    import torchvision
+
+    builder = getattr(torchvision.models.detection, model_config["model"])
+    weights = model_config.get("weights", "DEFAULT")
+    try:
+        net = builder(weights=weights)
+    except Exception:
+        # zero-egress environments cannot download pretrained weights
+        net = builder(weights=None)
+    net.eval()
+    threshold = float(model_config.get("threshold", 0.7))
+
+    def predictor(image: np.ndarray) -> dict:
+        with torch.no_grad():
+            t = torch.as_tensor(
+                np.ascontiguousarray(image), dtype=torch.float32
+            ).permute(2, 0, 1) / 255.0
+            out = net([t])[0]
+        keep = out["scores"] >= threshold
+        result = {
+            k: v[keep].cpu().numpy()
+            for k, v in out.items()
+            if hasattr(v, "cpu")
+        }
+        return result
+
+    return predictor
+
+
+def people_detection_executor(loaded_image, predictor) -> np.ndarray:
+    """Run the predictor, keep person boxes only ((N, 4) xyxy float32;
+    reference detection_hook.py:102-110 filters pred_classes == 0 —
+    torchvision's COCO person label is 1)."""
+    out = predictor(loaded_image)
+    person = out["labels"] == 1
+    return np.asarray(out["boxes"][person], np.float32).reshape(-1, 4)
+
+
+def people_keypoints_executor(loaded_image, predictor) -> np.ndarray:
+    """Run the predictor, keep person keypoints ((N, K, 3) (x, y, score);
+    reference detection_hook.py:45-46, :75-81)."""
+    out = predictor(loaded_image)
+    person = out["labels"] == 1
+    return np.asarray(out["keypoints"][person], np.float32)
+
+
+class Detectron2PeopleDetectionHook(HookBase):
+    """loaded_image -> bbox_coordinates via a configured detection model
+    (reference detection_hook.py:120-151; the name is kept for API parity —
+    the backend here is torchvision, see ``generate_predictor``)."""
+
+    def __init__(
+        self,
+        model_config: dict = None,
+        executor: Callable = people_detection_executor,
+        fail_strategy: str = "RAISE_ERROR",
+        priority: int = 1,
+    ):
+        super().__init__(
+            inputs=["loaded_image"],
+            outputs=["bbox_coordinates"],
+            fail_strategy=fail_strategy,
+            priority=priority,
+        )
+        self.model_config = model_config or {
+            "backend": "torchvision",
+            "model": "fasterrcnn_resnet50_fpn",
+            "threshold": 0.7,
+        }
+        self.executor = executor
+        self.predictor = generate_predictor(self.model_config)
+
+    def _run(self, status: OrderedDict) -> dict:
+        boxes = self.executor(status["loaded_image"], self.predictor)
+        return {"bbox_coordinates": boxes}
+
+
+class PeopleKeypointDetectionHook(HookBase):
+    """(loaded_image, bbox_coordinates) -> keypoint_coordinates
+    (reference detection_hook.py:48-81)."""
+
+    def __init__(
+        self,
+        model_config: dict = model_config,
+        executor: Callable = people_keypoints_executor,
+        fail_strategy: str = "RAISE_ERROR",
+        priority: int = 1,
+    ):
+        super().__init__(
+            inputs=["loaded_image", "bbox_coordinates"],
+            outputs=["keypoint_coordinates"],
+            fail_strategy=fail_strategy,
+            priority=priority,
+        )
+        self.model_config = model_config
+        self.executor = executor
+        self.predictor = generate_predictor(model_config)
+
+    def _run(self, status: OrderedDict) -> dict:
+        keypoints = self.executor(status["loaded_image"], self.predictor)
+        return {"keypoint_coordinates": keypoints}
+
+
 def full_frame_person_boxes(loaded_image: np.ndarray) -> np.ndarray:
     """Fallback predictor: one box covering the full frame — lets the
     pipeline run without an external person detector."""

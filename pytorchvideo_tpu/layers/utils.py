@@ -33,3 +33,13 @@ def round_repeats(repeats, multiplier):
     if not multiplier:
         return repeats
     return int(math.ceil(multiplier * repeats))
+
+
+def set_attributes(self, params=None) -> None:
+    """Set attributes of ``self`` from a locals() dict (reference
+    layers/utils.py:7-16). Kept for API parity with builder-written classes;
+    linen modules are dataclasses and don't need it."""
+    if params:
+        for k, v in params.items():
+            if k != "self":
+                setattr(self, k, v)

@@ -18,6 +18,7 @@ from pytorchvideo_tpu.models.hub.slowfast import (  # noqa: F401
 )
 from pytorchvideo_tpu.models.hub.utils import (  # noqa: F401
     MODEL_ZOO_ROOT_DIR,
+    hub_model_builder,
     load_pretrained_variables,
 )
 from pytorchvideo_tpu.models.hub.vision_transformers import (  # noqa: F401

@@ -269,6 +269,29 @@ def short_side_scale_with_boxes(
     return images, boxes * scale
 
 
+def random_short_side_scale_with_boxes(
+    images: jnp.ndarray,
+    boxes: jnp.ndarray,
+    min_size: int,
+    max_size: int,
+    interpolation: str = "bilinear",
+    rng=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Spatial short-side scale jitter on images + boxes (reference
+    functional.py:233-264).
+
+    The size draw is host-side (the output shape is data-dependent, so this
+    op cannot run under jit — same as the reference, which calls
+    ``torch.randint(...).item()``). ``rng``: optional
+    ``np.random.Generator`` for determinism.
+    """
+    import numpy as np
+
+    rng = rng if rng is not None else np.random.default_rng()
+    size = int(rng.integers(min_size, max_size + 1))
+    return short_side_scale_with_boxes(images, boxes, size, interpolation)
+
+
 def random_crop_with_boxes(
     images: jnp.ndarray, size: int, boxes: jnp.ndarray, key: jax.Array
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

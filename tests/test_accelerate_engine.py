@@ -257,3 +257,103 @@ def test_efficient_conv_blocks_convert_equivalence():
     fc = FullyConnected(8, 3)
     fc.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))
     assert fc(jnp.zeros((2, 8))).shape == (2, 3)
+
+
+def test_accelerate_pool_and_act_blocks():
+    """AdaptiveAvgPool{2d,3d}(+OutSize1) and act EfficientBlocks: forward
+    shapes/numerics + deploy-form convert (reference pool.py:14-115,
+    activation_functions.py:31-95)."""
+    from pytorchvideo_tpu.accelerate import (
+        AdaptiveAvgPool2d,
+        AdaptiveAvgPool2dOutSize1,
+        AdaptiveAvgPool3d,
+        HardSwish,
+        Identity,
+        ReLU,
+        Swish,
+    )
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 4, 8, 8, 5)), jnp.float32
+    )
+    blk = AdaptiveAvgPool3d((2, 4, 4))
+    blk.init(jax.random.PRNGKey(0), x)
+    assert blk(x).shape == (2, 2, 4, 4, 5)
+    np.testing.assert_allclose(
+        np.asarray(blk(x))[0, 0, 0, 0],
+        np.asarray(x)[0, :2, :2, :2].mean(axis=(0, 1, 2)),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    blk = AdaptiveAvgPool2dOutSize1()
+    blk.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(blk(x)),
+        np.asarray(x).mean(axis=(2, 3), keepdims=True),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    blk = AdaptiveAvgPool2d(4)
+    blk.init(jax.random.PRNGKey(0), x)
+    assert blk(x).shape == (2, 4, 4, 4, 5)
+
+    xs = np.asarray(x)
+    refs = {
+        HardSwish: xs * np.clip(xs + 3, 0, 6) / 6,
+        ReLU: np.maximum(xs, 0),
+        Swish: xs / (1 + np.exp(-xs)),
+        Identity: xs,
+    }
+    for cls, expect in refs.items():
+        blk = cls()
+        blk.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(blk(x)), expect, rtol=1e-5, atol=1e-5
+        )
+        blk.convert()  # deploy form (bf16) still runs
+        assert blk(x).shape == x.shape
+
+
+def test_detection_executors_and_hooks_with_stub_predictor():
+    """people/keypoint executors filter the person class (torchvision COCO
+    label 1) and threshold via the predictor; hooks wire them into the
+    engine status dict (reference detection_hook.py:45-117)."""
+    from pytorchvideo_tpu.engine import (
+        people_detection_executor,
+        people_keypoints_executor,
+    )
+
+    def pred(img):
+        return {
+            "boxes": np.asarray([[1.0, 2.0, 3.0, 4.0], [5.0, 6.0, 7.0, 8.0]]),
+            "labels": np.asarray([1, 17]),
+            "scores": np.asarray([0.9, 0.8]),
+            "keypoints": np.arange(2 * 17 * 3, dtype=np.float32).reshape(
+                2, 17, 3
+            ),
+        }
+
+    boxes = people_detection_executor(None, pred)
+    np.testing.assert_allclose(boxes, [[1.0, 2.0, 3.0, 4.0]])
+    kps = people_keypoints_executor(None, pred)
+    assert kps.shape == (1, 17, 3)
+
+
+def test_hub_model_builder():
+    """default_config fills unset kwargs; kwargs forbidden with pretrained
+    (reference models/hub/utils.py:12-49)."""
+    from pytorchvideo_tpu.models import create_x3d
+    from pytorchvideo_tpu.models.hub import hub_model_builder
+
+    model = hub_model_builder(
+        create_x3d,
+        default_config=dict(
+            input_clip_length=2, input_crop_size=32, model_num_class=7
+        ),
+    )
+    x = jnp.zeros((1, 2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    assert model.apply(variables, x, False).shape == (1, 7)
+
+    with pytest.raises(AssertionError):
+        hub_model_builder(create_x3d, pretrained=True, model_num_class=7)

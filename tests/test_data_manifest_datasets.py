@@ -222,3 +222,52 @@ def test_signal_transforms():
     assert mel.shape[0] == 256
     mfcc = signal_transform("mfcc", 48000)(wave)
     assert mfcc.shape[0] == 256
+
+
+def test_epic_kitchen_manifest_builders_and_save(tmp_path):
+    """Manifest builders walk flat/nested/encoded layouts; save round-trips
+    through the headered-csv loader (reference epic_kitchen/utils.py:10-199,
+    dataset_manifest_utils.py:269-314)."""
+    import os
+
+    from pytorchvideo_tpu.data.dataset_manifest_utils import (
+        EncodedVideoInfo,
+        VideoFrameInfo,
+        save_encoded_video_manifest,
+        save_video_frame_info,
+    )
+    from pytorchvideo_tpu.data.epic_kitchen import (
+        build_encoded_manifest_from_nested_directory,
+        build_frame_manifest_from_flat_directory,
+        build_frame_manifest_from_nested_directory,
+    )
+    from pytorchvideo_tpu.data.utils import load_dataclass_dict_from_csv
+
+    flat = tmp_path / "flat" / "vid1"
+    nested = tmp_path / "nested" / "P01"
+    enc = tmp_path / "enc" / "P01"
+    for d in (flat, nested, enc):
+        os.makedirs(d)
+    for i in range(1, 4):
+        (flat / f"frame_{i:010d}.jpg").touch()
+        (nested / f"P01_01_{i:010d}.jpg").touch()
+    (enc / "P01_01.MP4").touch()
+
+    vf = build_frame_manifest_from_flat_directory(str(tmp_path / "flat"), True)
+    assert vf["vid1"].min_frame_number == 1
+    assert vf["vid1"].max_frame_number == 3
+    assert vf["vid1"].frame_file_stem == "frame_"
+
+    vn = build_frame_manifest_from_nested_directory(
+        str(tmp_path / "nested"), False
+    )
+    assert vn["P01_01"].max_frame_number == 3
+    assert vn["P01_01"].frame_file_stem == "P01_01_"
+
+    ev = build_encoded_manifest_from_nested_directory(str(tmp_path / "enc"))
+    assert ev["P01_01"].file_path.endswith("P01_01.MP4")
+
+    p1 = save_video_frame_info(vn, str(tmp_path / "vf.csv"))
+    p2 = save_encoded_video_manifest(ev, str(tmp_path / "ev.csv"))
+    assert load_dataclass_dict_from_csv(p1, VideoFrameInfo, "video_id") == vn
+    assert load_dataclass_dict_from_csv(p2, EncodedVideoInfo, "video_id") == ev

@@ -163,3 +163,26 @@ def test_uniform_temporal_subsample_repeated():
     x = _to_thwc(_rand_video_cthw(t=32))
     outs = F.uniform_temporal_subsample_repeated(x, (4, 1))
     assert outs[0].shape[0] == 8 and outs[1].shape[0] == 32
+
+
+def test_random_short_side_scale_with_boxes():
+    """Size drawn in [min, max]; boxes scale with the short side
+    (reference functional.py:233-264)."""
+    import numpy as np
+
+    from pytorchvideo_tpu.transforms.functional import (
+        random_short_side_scale_with_boxes,
+    )
+
+    imgs = jnp.ones((4, 60, 80, 3))
+    boxes = jnp.asarray([[10.0, 10.0, 40.0, 40.0]])
+    out, b = random_short_side_scale_with_boxes(
+        imgs, boxes, 30, 30, rng=np.random.default_rng(0)
+    )
+    assert out.shape[1] == 30
+    np.testing.assert_allclose(np.asarray(b), [[5.0, 5.0, 20.0, 20.0]])
+    for _ in range(5):
+        out, _ = random_short_side_scale_with_boxes(
+            imgs, boxes, 20, 40, rng=np.random.default_rng(1)
+        )
+        assert 20 <= out.shape[1] <= 40
