@@ -53,3 +53,9 @@ from pytorchvideo_tpu.data.json_dataset import (  # noqa: F401
 from pytorchvideo_tpu.data.ssv2 import SSv2  # noqa: F401
 from pytorchvideo_tpu.data.ucf101 import Ucf101  # noqa: F401
 from pytorchvideo_tpu.data.video import Video, VideoPathHandler  # noqa: F401
+from pytorchvideo_tpu.data.loader import BatchLoader, device_prefetch  # noqa: F401
+from pytorchvideo_tpu.data.samplers import (  # noqa: F401
+    DistributedSampler,
+    RandomSampler,
+    SequentialSampler,
+)

@@ -106,12 +106,16 @@ def device_prefetch(batches: Iterable, sharding=None, size: int = 2):
 
     buf = collections.deque()
 
-    def put(b):
+    def put_leaf(x):
+        arr = np.asarray(x)
+        if arr.dtype.kind not in "biufc":
+            return x  # metadata (video_name etc.) stays host-side
         if sharding is not None:
-            return jax.tree_util.tree_map(
-                lambda x: jax.device_put(np.asarray(x), sharding), b
-            )
-        return jax.tree_util.tree_map(lambda x: jax.device_put(np.asarray(x)), b)
+            return jax.device_put(arr, sharding)
+        return jax.device_put(arr)
+
+    def put(b):
+        return jax.tree_util.tree_map(put_leaf, b)
 
     it = iter(batches)
     try:

@@ -1,23 +1,37 @@
 """Fused depthwise 3x3x3 conv (+BN affine, + optional swish) Pallas kernel.
 
-X3D's wall time is dominated by depthwise 3x3x3 convs. This kernel keeps a
-(H, W, C) slab per (batch, frame) resident in VMEM, passes the three
-temporal taps as shifted views of the same input (clamped index maps +
-in-kernel masking for the borders), and does the 27-tap accumulation as VPU
-FMAs, optionally folding the BN affine and swish epilogue into the same
-pass.
+X3D's wall time is dominated by depthwise 3x3x3 convs: ablating them out of
+the full X3D-S forward (B128, bf16, folded weights, one v5e chip) drops
+35.8 ms -> 10.7 ms, i.e. ~70% of the model is this one op, and XLA's
+conv_general_dilated runs it at ~45% VPU utilization (it is VPU
+compute-bound: 27 taps/element of elementwise FMA; the MXU can't help a
+depthwise conv).
 
-Stride 1, padding 1 (the X3D non-downsampling blocks; strided blocks fall
-back to XLA).
+Kernel design (v2 — the v1 slab kernel lost 10x to XLA because every tap
+sliced the (H+2, W+2) halo slab at a different sublane offset, forcing a
+relayout per tap):
 
-Measured (TPU, bf16, B16 T13 40x40 C108): the fused XLA path
-(conv_general_dilated + epilogue, `depthwise3x3x3_bn_swish_xla`) runs at
-221 us / 8.8 TFLOP/s — XLA fuses the BN+swish epilogue into the conv and
-tiles it well — while this kernel lands at 2.2 ms (the unrolled 27-tap FMA
-loop over a full (H+2, W+2, 128) slab loses to XLA's windowed scheduling).
-So, as with `pooled_attention`, XLA stays the production path and this
-kernel is kept as a correct, tested extension point for future autotuning
-(e.g. spatial tiling + lane-aligned channel blocking).
+- grid (B, T); per step three clamped temporal views of the same input
+  (t-1, t, t+1) as (H, W, C) VMEM blocks — no spatial halo, no pre-padding.
+- taps grouped by spatial offset: for each (dy, dx), the three temporal
+  taps are a fused mul/FMA chain (per-channel weights broadcast along
+  lanes), then ONE spatial shift of the partial sum via `pltpu.roll`
+  (cyclic, vreg-level) and ONE border mask (iota compare), then
+  accumulate. 9 rolls instead of 27 misaligned slices.
+- temporal borders: the t±1 views are clamped copies; their tap weights
+  are scalar-zeroed at t==0 / t==T-1 (weights, not masks — no extra
+  full-slab ops).
+- f32 accumulation; per-channel scale/bias epilogue (the eval-mode BN
+  affine after fold_conv_bn) and optional swish fused into the same pass;
+  bf16 in/out. Channels pad to the 128-lane boundary.
+
+Stride-1 / padding-1 only (the X3D non-downsampling blocks — 22 of 26 dw
+convs in X3D-S; strided blocks fall back to XLA).
+
+Reference semantics covered: conv_b depthwise 3x3x3 inside
+create_x3d_bottleneck_block (reference models/x3d.py:105-228) and the
+accelerator Conv3d3x3x3DwBnAct (reference
+layers/accelerator/mobile_cpu/convolutions.py:182).
 """
 
 from __future__ import annotations
@@ -37,10 +51,17 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
+def _roll(x, shift, axis, interpret):
+    if interpret:
+        return jnp.roll(x, shift, axis)
+    # pltpu.roll requires a non-negative shift; cyclic roll is modular.
+    return pltpu.roll(x, shift=shift % x.shape[axis], axis=axis)
+
+
 def _kernel(
-    x_prev_ref,
-    x_cur_ref,
-    x_next_ref,
+    xm_ref,
+    xc_ref,
+    xn_ref,
     w_ref,
     scale_ref,
     bias_ref,
@@ -50,28 +71,44 @@ def _kernel(
     W,
     T,
     apply_swish,
+    interpret,
 ):
     t = pl.program_id(1)
-    acc = jnp.zeros(o_ref.shape[2:], jnp.float32)
+    xm = xm_ref[0, 0].astype(jnp.float32)  # (H, W, Cp)
+    xc = xc_ref[0, 0].astype(jnp.float32)
+    xn = xn_ref[0, 0].astype(jnp.float32)
+    w = w_ref[...].astype(jnp.float32)  # (3, 3, 3, Cp)
+    # temporal validity: the t+-1 views are clamped copies at the sequence
+    # edges; zero their taps through the (scalar) weights.
+    wm = jnp.where(t > 0, 1.0, 0.0)
+    wn = jnp.where(t < T - 1, 1.0, 0.0)
 
-    def taps(frame, dt):
-        out = jnp.zeros((H, W, frame.shape[-1]), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                w_tap = w_ref[dt, dy, dx]  # (C,)
-                out = out + frame[dy : dy + H, dx : dx + W, :].astype(
-                    jnp.float32
-                ) * w_tap.astype(jnp.float32)
-        return out
-
-    # current frame always contributes
-    acc = acc + taps(x_cur_ref[0, 0], 1)
-    # temporal borders: prev/next views are clamped copies; mask them out
-    prev_tap = taps(x_prev_ref[0, 0], 0)
-    acc = acc + jnp.where(t > 0, prev_tap, 0.0)
-    next_tap = taps(x_next_ref[0, 0], 2)
-    acc = acc + jnp.where(t < T - 1, next_tap, 0.0)
-
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, W, 1), 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (H, W, 1), 1)
+    acc = jnp.zeros_like(xc)
+    for dy in range(3):
+        d_h = dy - 1
+        mh = {-1: iota_h >= 1, 0: None, 1: iota_h <= H - 2}[d_h]
+        for dx in range(3):
+            d_w = dx - 1
+            mw = {-1: iota_w >= 1, 0: None, 1: iota_w <= W - 2}[d_w]
+            # out[h, w] += x[t+dt-1, h+d_h, w+d_w] * w[dt, dy, dx]
+            s = xc * w[1, dy, dx]
+            s = s + xm * (w[0, dy, dx] * wm)
+            s = s + xn * (w[2, dy, dx] * wn)
+            if d_h:
+                s = _roll(s, -d_h, 0, interpret)
+            if d_w:
+                s = _roll(s, -d_w, 1, interpret)
+            if mh is None:
+                m = mw
+            elif mw is None:
+                m = mh
+            else:
+                m = jnp.logical_and(mh, mw)
+            if m is not None:
+                s = jnp.where(m, s, 0.0)
+            acc = acc + s
     out = acc * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(
         jnp.float32
     )
@@ -89,7 +126,8 @@ def depthwise3x3x3_bn_swish_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x: (B, T, H, W, C); w: (3, 3, 3, C) depthwise taps; optional per-
-    channel scale/bias epilogue (BN eval affine) and swish."""
+    channel scale/bias epilogue (BN eval affine) and swish. Stride 1,
+    'same' (pad 1) — output shape == input shape."""
     B, T, H, W, C = x.shape
     assert w.shape[:3] == (3, 3, 3)
     c_pad = (-C) % 128
@@ -97,40 +135,55 @@ def depthwise3x3x3_bn_swish_pallas(
         x = jnp.pad(x, ((0, 0),) * 4 + ((0, c_pad),))
         w = jnp.pad(w, ((0, 0),) * 3 + ((0, c_pad),))
     Cp = C + c_pad
-    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
     if scale is None:
         scale = jnp.ones((C,), x.dtype)
     if bias is None:
         bias = jnp.zeros((C,), x.dtype)
-    scale = jnp.pad(scale, (0, c_pad))
-    bias = jnp.pad(bias, (0, c_pad))
+    scale = jnp.pad(jnp.asarray(scale, x.dtype), (0, c_pad))
+    bias = jnp.pad(jnp.asarray(bias, x.dtype), (0, c_pad))
 
     grid = (B, T)
-    frame_spec = lambda dt: pl.BlockSpec(  # noqa: E731
-        (1, 1, H + 2, W + 2, Cp),
-        lambda b, t, dt=dt: (b, jnp.clip(t + dt, 0, T - 1), 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+
+    def frame_spec(dt):
+        return pl.BlockSpec(
+            (1, 1, H, W, Cp),
+            lambda b, t, dt=dt: (b, jnp.clip(t + dt, 0, T - 1), 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     out = pl.pallas_call(
-        functools.partial(_kernel, H=H, W=W, T=T, apply_swish=apply_swish),
+        functools.partial(
+            _kernel,
+            H=H,
+            W=W,
+            T=T,
+            apply_swish=apply_swish,
+            interpret=interpret,
+        ),
         out_shape=jax.ShapeDtypeStruct((B, T, H, W, Cp), x.dtype),
         grid=grid,
         in_specs=[
             frame_spec(-1),
             frame_spec(0),
             frame_spec(1),
-            pl.BlockSpec((3, 3, 3, Cp), lambda b, t: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (3, 3, 3, Cp),
+                lambda b, t: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((Cp,), lambda b, t: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((Cp,), lambda b, t: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, H, W, Cp), lambda b, t: (b, t, 0, 0, 0),
+            (1, 1, H, W, Cp),
+            lambda b, t: (b, t, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(xp, xp, xp, w, scale, bias)
-    return out[..., :C]
+    )(x, x, x, w, scale, bias)
+    if c_pad:
+        out = out[..., :C]
+    return out
 
 
 def depthwise3x3x3_bn_swish_xla(x, w, scale=None, bias=None, apply_swish=False):
