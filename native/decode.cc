@@ -34,6 +34,8 @@ struct Decoder {
   int64_t num_frames = 0;
   double duration = 0.0;
   int64_t next_frame = 0;  // next frame index the demuxer will produce
+  int sws_h = 0;           // current swscale target (rebuilt on change)
+  int sws_w = 0;
   char error[256] = {0};
 };
 
@@ -110,12 +112,15 @@ int64_t pvt_num_frames(void* h) { return static_cast<Decoder*>(h)->num_frames; }
 double pvt_duration(void* h) { return static_cast<Decoder*>(h)->duration; }
 const char* pvt_error(void* h) { return static_cast<Decoder*>(h)->error; }
 
-// Decode frames [start, end) into out (end-start, H, W, 3) uint8 RGB.
-// Returns the number of frames written, or -1 on failure.
-int64_t pvt_decode_range(void* handle, int64_t start, int64_t end,
-                         uint8_t* out) {
+// Decode frames [start, end) into out (end-start, out_h, out_w, 3) uint8
+// RGB, rescaling with bilinear swscale when (out_h, out_w) differs from the
+// native size. Returns the number of frames written, or -1 on failure.
+int64_t pvt_decode_range_scaled(void* handle, int64_t start, int64_t end,
+                                uint8_t* out, int out_h, int out_w) {
   Decoder* d = static_cast<Decoder*>(handle);
   if (!d || start < 0 || end <= start) return -1;
+  if (out_h <= 0) out_h = d->height;
+  if (out_w <= 0) out_w = d->width;
   AVStream* st = d->fmt->streams[d->stream_index];
 
   if (start < d->next_frame || start > d->next_frame + 64) {
@@ -131,14 +136,17 @@ int64_t pvt_decode_range(void* handle, int64_t start, int64_t end,
     d->next_frame = -1;  // unknown until the first decoded frame's pts
   }
 
-  if (!d->sws) {
-    d->sws = sws_getContext(d->width, d->height, d->codec->pix_fmt, d->width,
-                            d->height, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+  if (!d->sws || d->sws_h != out_h || d->sws_w != out_w) {
+    if (d->sws) sws_freeContext(d->sws);
+    d->sws = sws_getContext(d->width, d->height, d->codec->pix_fmt, out_w,
+                            out_h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
                             nullptr, nullptr);
     if (!d->sws) {
       set_error(d, "sws_getContext failed");
       return -1;
     }
+    d->sws_h = out_h;
+    d->sws_w = out_w;
   }
 
   const int64_t want = end - start;
@@ -178,14 +186,20 @@ int64_t pvt_decode_range(void* handle, int64_t start, int64_t end,
       av_frame_unref(d->frame);
       break;
     }
-    uint8_t* dst[1] = {out + (idx - start) * d->height * d->width * 3};
-    int dst_stride[1] = {d->width * 3};
+    uint8_t* dst[1] = {out + (idx - start) * out_h * out_w * 3};
+    int dst_stride[1] = {out_w * 3};
     sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, d->height, dst,
               dst_stride);
     ++written;
     av_frame_unref(d->frame);
   }
   return written;
+}
+
+// Native-resolution decode (original ABI).
+int64_t pvt_decode_range(void* handle, int64_t start, int64_t end,
+                         uint8_t* out) {
+  return pvt_decode_range_scaled(handle, start, end, out, 0, 0);
 }
 
 void pvt_close(void* handle) {

@@ -7,6 +7,18 @@ conv_general_dilated runs it at ~45% VPU utilization (it is VPU
 compute-bound: 27 taps/element of elementwise FMA; the MXU can't help a
 depthwise conv).
 
+Measured outcome (v5e, bf16, B128 T13, per non-strided dw+BN+swish op):
+XLA 3.93/1.96/0.43/0.15 ms at S40C54/S20C108/S10C216/S5C432 — which is VPU
+speed-of-light for the lane-padded layout (27 taps x 2 flops x H*W*Cpad*B*T
+at ~7.7 TFLOP/s matches within noise). This kernel (v2) lands at
+17.98/4.08/2.62/0.93 ms: the roll+mask+f32-temporary formulation costs
+~3x the VPU ops of XLA's windowed scheduling. XLA therefore remains the
+production path; the kernel is kept as a correct, tested extension point.
+The only structural headroom left is the 54->128 lane padding at stage 1
+(2.4x), which no same-layout kernel can recover — it would take batch-
+packed lanes + block-diagonal pointwise weights, whose transpose/matmul
+overhead roughly cancels the gain at these shapes.
+
 Kernel design (v2 — the v1 slab kernel lost 10x to XLA because every tap
 sliced the (H+2, W+2) halo slab at a different sublane offset, forcing a
 relayout per tap):
