@@ -1,0 +1,99 @@
+"""Training-step throughput (clips/sec/chip, fwd+bwd+optimizer update).
+
+Complements model_throughput.py (inference): times the full jitted train
+step — SoftTarget CE + MixUp batch transform + SGD update + BN stat
+updates — for a model grid on one chip. Run: python
+benchmarks/train_throughput.py. Prints one json line per model.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+if "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] += ",cpu"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CONFIGS = [
+    # (name, geom (T, crop), batch)
+    ("x3d_s", (13, 160), 64),
+    ("slow_r50", (8, 224), 32),
+]
+
+
+def bench_train(name, geom, batch):
+    from pytorchvideo_tpu.models import hub
+    from pytorchvideo_tpu.train import (
+        OptimizerConfig,
+        construct_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+    from pytorchvideo_tpu.transforms.mix import MixUp
+    from pytorchvideo_tpu.utils.profiling import time_jitted
+
+    cpu = jax.devices("cpu")[0]
+    device = jax.devices()[0]
+    t, crop = geom
+    model = getattr(hub, name)(model_num_class=400)
+    with jax.default_device(cpu):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, t, crop, crop, 3)), False
+        )
+        tx = construct_optimizer(
+            variables["params"],
+            OptimizerConfig(method="sgd", lr=0.1, momentum=0.9),
+        )
+        state = create_train_state(variables, tx)
+    state = jax.device_put(state, device)
+
+    mix = MixUp(num_classes=400, label_smoothing=0.1)
+    step = make_train_step(
+        model, tx, batch_transform=lambda k, v, l: mix(k, v, l)
+    )
+
+    rng = np.random.default_rng(0)
+    batch_dict = {
+        "video": jax.device_put(
+            jnp.asarray(
+                rng.uniform(-1, 1, (batch, t, crop, crop, 3)), jnp.float32
+            ),
+            device,
+        ),
+        "label": jax.device_put(jnp.asarray(np.arange(batch) % 400), device),
+    }
+    key = jax.random.PRNGKey(1)
+
+    def one_step(video, label, state):
+        new_state, metrics = step(
+            state, {"video": video, "label": label}, key
+        )
+        # fold the state update into a scalar probe so the timing loop
+        # carries a data dependency through the whole step
+        return metrics["loss"] + jnp.asarray(new_state.step, jnp.float32)
+
+    sec = time_jitted(
+        one_step, batch_dict["video"], batch_dict["label"], state, iters=5
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"{name}_train_clips_per_sec_per_chip",
+                "value": round(batch / sec, 2),
+                "unit": "clips/s",
+                "batch": batch,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    for name, geom, batch in CONFIGS:
+        bench_train(name, geom, batch)

@@ -134,13 +134,27 @@ def pooled_attention(
     residual_pool: bool = False,
     use_pallas: Optional[bool] = None,
 ):
-    """Dispatch: Pallas on TPU for long sequences, XLA otherwise."""
+    """Dispatch: Pallas on TPU for long sequences, XLA otherwise.
+
+    Env override ``PVT_POOLED_ATTENTION`` = ``pallas`` | ``xla`` | ``auto``
+    (default auto). Note auto keys off the default backend — computations
+    explicitly placed on another device (e.g. ``jax.default_device(cpu)``
+    while a TPU is present) should set the env var to ``xla``.
+    """
     if use_pallas is None:
-        use_pallas = (
-            _HAS_PALLAS
-            and jax.default_backend() == "tpu"
-            and q.shape[2] >= 1024
-        )
+        import os
+
+        mode = os.environ.get("PVT_POOLED_ATTENTION", "auto")
+        if mode == "pallas":
+            use_pallas = True
+        elif mode == "xla":
+            use_pallas = False
+        else:
+            use_pallas = (
+                _HAS_PALLAS
+                and jax.default_backend() == "tpu"
+                and q.shape[2] >= 1024
+            )
     if use_pallas:
         return pooled_attention_pallas(q, k, v, scale, residual_pool)
     return pooled_attention_xla(q, k, v, scale, residual_pool)
