@@ -29,6 +29,7 @@ CONFIGS = [
     ("slow_r50", "slow_r50", (8, 224), 64),
     ("slowfast_r50", "slowfast_r50", None, 32),
     ("mvit_base_16x4", "mvit_base_16x4", (16, 224), 16),
+    ("mvit_base_32x3", "mvit_base_32x3", (32, 224), 8),
 ]
 
 
@@ -97,7 +98,12 @@ def bench_model(name, factory_name, geom, batch):
 
 
 if __name__ == "__main__":
+    import sys
+
+    only = set(sys.argv[1:])
     for cfg in CONFIGS:
+        if only and cfg[0] not in only:
+            continue
         try:
             bench_model(*cfg)
         except Exception as e:

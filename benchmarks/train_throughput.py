@@ -24,10 +24,11 @@ CONFIGS = [
     # (name, geom (T, crop), batch)
     ("x3d_s", (13, 160), 64),
     ("slow_r50", (8, 224), 32),
+    ("mvit_base_16x4", (16, 224), 8),
 ]
 
 
-def bench_train(name, geom, batch):
+def bench_train(name, geom, batch, bf16=False):
     from pytorchvideo_tpu.models import hub
     from pytorchvideo_tpu.train import (
         OptimizerConfig,
@@ -41,7 +42,8 @@ def bench_train(name, geom, batch):
     cpu = jax.devices("cpu")[0]
     device = jax.devices()[0]
     t, crop = geom
-    model = getattr(hub, name)(model_num_class=400)
+    factory = getattr(hub, name)
+    model = factory() if "mvit" in name else factory(model_num_class=400)
     with jax.default_device(cpu):
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, t, crop, crop, 3)), False
@@ -55,7 +57,10 @@ def bench_train(name, geom, batch):
 
     mix = MixUp(num_classes=400, label_smoothing=0.1)
     step = make_train_step(
-        model, tx, batch_transform=lambda k, v, l: mix(k, v, l)
+        model,
+        tx,
+        batch_transform=lambda k, v, l: mix(k, v, l),
+        compute_dtype=jnp.bfloat16 if bf16 else None,
     )
 
     rng = np.random.default_rng(0)
@@ -81,10 +86,11 @@ def bench_train(name, geom, batch):
     sec = time_jitted(
         one_step, batch_dict["video"], batch_dict["label"], state, iters=5
     )
+    suffix = "_bf16" if bf16 else ""
     print(
         json.dumps(
             {
-                "metric": f"{name}_train_clips_per_sec_per_chip",
+                "metric": f"{name}_train{suffix}_clips_per_sec_per_chip",
                 "value": round(batch / sec, 2),
                 "unit": "clips/s",
                 "batch": batch,
@@ -95,5 +101,10 @@ def bench_train(name, geom, batch):
 
 
 if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if a != "--bf16"]
+    bf16 = "--bf16" in sys.argv[1:]
+    only = set(args)
     for name, geom, batch in CONFIGS:
-        bench_train(name, geom, batch)
+        if only and name not in only:
+            continue
+        bench_train(name, geom, batch, bf16=bf16)

@@ -259,12 +259,12 @@ class MultiScaleAttention(nn.Module):
             v, v_thw = pool("pool_v", kkv, self.stride_kv)(v, thw, train)
 
         head_dim = self.dim_out // self.num_heads
-        if not train and not self.is_initializing():
-            # Inference: fused Pallas kernel on TPU for long sequences
-            # (1.6-1.7x over the unfused XLA path at MViT-B shapes; the
-            # kernel defines no VJP, so training keeps the XLA path).
-            # Skipped during init (init often runs host-side under
-            # jax.default_device(cpu), where pallas can't lower).
+        if not self.is_initializing():
+            # Fused Pallas kernel on TPU for long sequences (1.6-1.7x over
+            # the unfused XLA path at MViT-B shapes); differentiable — the
+            # custom VJP runs a flash-style Pallas backward, so training
+            # uses it too. Skipped during init (init often runs host-side
+            # under jax.default_device(cpu), where pallas can't lower).
             from pytorchvideo_tpu.ops.pooled_attention import pooled_attention
 
             out = pooled_attention(

@@ -60,6 +60,88 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, lk_valid, residual):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _attention_bwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    g_ref,
+    dq_ref,
+    dk_ref,
+    dv_ref,
+    *,
+    scale,
+    lk_valid,
+    residual,
+):
+    """One (bh, q-tile) backward step.
+
+    Recomputes probs for the tile (flash-style — the (L_q, L_k) matrix is
+    never stored), emits dq for the tile, and accumulates dk/dv into a
+    single VMEM-resident (L_k, c) block across the sequential q-tile grid
+    dimension (the dk/dv out blocks map every tile index to block 0, so
+    the accumulator stays in VMEM for the whole bh row).
+    """
+    i = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < lk_valid, scores, -jnp.inf)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+    vf = v.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    # dp = g @ v^T ; softmax bwd: ds = p * (dp - rowsum(dp * p))
+    dp = jax.lax.dot_general(
+        g, vf, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    dq = (
+        jax.lax.dot_general(
+            ds, kf, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    if residual:
+        dq = dq + g
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    dk_t = (
+        jax.lax.dot_general(
+            ds, qf, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    dv_t = jax.lax.dot_general(
+        probs, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = dk_t
+        dv_ref[0] = dv_t
+
+    @pl.when(i > 0)
+    def _accum():
+        dk_ref[0] += dk_t
+        dv_ref[0] += dv_t
+
+
 def _pad_to(x, axis, mult):
     size = x.shape[axis]
     pad = (-size) % mult
@@ -114,6 +196,79 @@ def pooled_attention_pallas(
     return out[:, :Lq, :c].reshape(B, H, Lq, c)
 
 
+def pooled_attention_pallas_bwd(
+    q, k, v, g, scale, residual_pool=False, interpret=False, tile_q=_TILE_Q
+):
+    """Backward pass: returns (dq, dk, dv), each shaped like its input."""
+    B, H, Lq, c = q.shape
+    Lk = k.shape[2]
+
+    qf = _pad_to(_pad_to(q.reshape(B * H, Lq, c), 1, tile_q), 2, 128)
+    kf = _pad_to(_pad_to(k.reshape(B * H, Lk, c), 1, 128), 2, 128)
+    vf = _pad_to(_pad_to(v.reshape(B * H, Lk, c), 1, 128), 2, 128)
+    gf = _pad_to(_pad_to(g.reshape(B * H, Lq, c), 1, tile_q), 2, 128)
+    Lq_pad, c_pad = qf.shape[1], qf.shape[2]
+    Lk_pad = kf.shape[1]
+
+    grid = (B * H, Lq_pad // tile_q)
+    kv_spec = pl.BlockSpec(
+        (1, Lk_pad, c_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    q_spec = pl.BlockSpec(
+        (1, tile_q, c_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _attention_bwd_kernel,
+            scale=scale,
+            lk_valid=Lk,
+            residual=residual_pool,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Lq_pad, c_pad), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Lk_pad, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Lk_pad, c_pad), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=[q_spec, kv_spec, kv_spec],
+        interpret=interpret,
+    )(qf, kf, vf, gf)
+    dq = dq[:, :Lq, :c].reshape(B, H, Lq, c)
+    dk = dk[:, :Lk, :c].reshape(B, H, Lk, c).astype(k.dtype)
+    dv = dv[:, :Lk, :c].reshape(B, H, Lk, c).astype(v.dtype)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def pooled_attention_pallas_ad(
+    q, k, v, scale, residual_pool=False, interpret=False
+):
+    """Differentiable fused pooled attention (Pallas fwd + Pallas bwd).
+
+    Same math as :func:`pooled_attention_xla`; the backward recomputes
+    probs per q-tile (flash-attention style) so the (L_q, L_k) matrix
+    never reaches HBM in either direction. Use in training.
+    """
+    return pooled_attention_pallas(q, k, v, scale, residual_pool, interpret)
+
+
+def _ad_fwd(q, k, v, scale, residual_pool, interpret):
+    out = pooled_attention_pallas(q, k, v, scale, residual_pool, interpret)
+    return out, (q, k, v)
+
+
+def _ad_bwd(scale, residual_pool, interpret, res, g):
+    q, k, v = res
+    dq, dk, dv = pooled_attention_pallas_bwd(
+        q, k, v, g, scale, residual_pool, interpret
+    )
+    return dq, dk, dv
+
+
+pooled_attention_pallas_ad.defvjp(_ad_fwd, _ad_bwd)
+
+
 def pooled_attention_xla(q, k, v, scale, residual_pool=False):
     """Reference XLA path (same math as layers.attention)."""
     attn = jnp.einsum(
@@ -156,5 +311,5 @@ def pooled_attention(
                 and q.shape[2] >= 1024
             )
     if use_pallas:
-        return pooled_attention_pallas(q, k, v, scale, residual_pool)
+        return pooled_attention_pallas_ad(q, k, v, scale, residual_pool)
     return pooled_attention_xla(q, k, v, scale, residual_pool)

@@ -49,12 +49,20 @@ def make_train_step(
     clip_grad_norm: Optional[float] = None,
     input_key: str = "video",
     label_key: str = "label",
+    compute_dtype: Optional[Any] = None,
 ):
     """Build a pure (state, batch, rng) -> (state, metrics) step.
 
     ``batch_transform``: optional (key, video, labels) -> (video, labels)
     on-device batch op (MixUp/CutMix — the reference's MixVideoBatchWrapper).
     Wrap the result in jit with shardings from parallel.mesh.
+
+    ``compute_dtype``: optional mixed-precision policy (e.g.
+    ``jnp.bfloat16``). Master params, optimizer state, BN running stats
+    (flax computes batch stats in f32 regardless of input dtype), logits,
+    and loss stay f32; the forward/backward matmuls and activations run in
+    ``compute_dtype`` — params and inputs are cast at the top of the loss
+    so gradients come out f32 against the f32 masters.
     """
 
     def step(state: TrainState, batch: Dict[str, Any], rng) -> Tuple[TrainState, Dict]:
@@ -65,15 +73,24 @@ def make_train_step(
             video, labels = batch_transform(mix_key, video, labels)
 
         def loss_of(params):
+            x = video
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda a: a.astype(compute_dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating)
+                    else a,
+                    params,
+                )
+                x = x.astype(compute_dtype)
             variables = {"params": params, "batch_stats": state.batch_stats}
             out, mutated = model.apply(
                 variables,
-                video,
+                x,
                 True,
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_key},
             )
-            loss = loss_fn(out, labels)
+            loss = loss_fn(out.astype(jnp.float32), labels)
             return loss, (out, mutated.get("batch_stats", state.batch_stats))
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(

@@ -32,6 +32,47 @@ def test_pallas_matches_xla(B, H, Lq, Lk, c, residual):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "B,H,Lq,Lk,c,residual",
+    [
+        (1, 2, 700, 137, 96, True),
+        (2, 1, 300, 50, 64, False),
+    ],
+)
+def test_pallas_grad_matches_xla(B, H, Lq, Lk, c, residual):
+    import jax
+
+    from pytorchvideo_tpu.ops.pooled_attention import (
+        pooled_attention_pallas_ad,
+    )
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, H, Lq, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, Lk, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, Lk, c)), jnp.float32)
+    # random cotangent projection so every output element contributes
+    w = jnp.asarray(rng.normal(size=(B, H, Lq, c)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(pooled_attention_xla(q, k, v, 0.125, residual) * w)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(
+            pooled_attention_pallas_ad(
+                q, k, v, 0.125, residual, True  # interpret mode
+            )
+            * w
+        )
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    out_grads = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for name, r, o in zip("qkv", ref_grads, out_grads):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), atol=5e-4, rtol=1e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_dispatch_default_cpu_uses_xla():
     q = jnp.zeros((1, 1, 2048, 16))
     k = jnp.zeros((1, 1, 64, 16))

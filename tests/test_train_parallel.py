@@ -61,6 +61,34 @@ def test_train_step_reduces_loss():
     assert logits.shape == (4, 5)
 
 
+def test_train_step_mixed_precision_bf16():
+    """bf16 compute, f32 masters: loss decreases, params/stats stay f32."""
+    model = _tiny_model()
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 2, 32, 32, 3)), jnp.float32
+    )
+    labels = jnp.asarray([0, 1, 2, 3])
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    tx = construct_optimizer(
+        variables["params"], OptimizerConfig(method="sgd", lr=0.05)
+    )
+    state = create_train_state(variables, tx)
+    step = jax.jit(
+        make_train_step(model, tx, compute_dtype=jnp.bfloat16)
+    )
+    batch = {"video": x, "label": labels}
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert all(np.isfinite(losses)), losses
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state.batch_stats):
+        assert leaf.dtype == jnp.float32
+
+
 def test_train_step_data_parallel_mesh():
     assert len(jax.devices()) == 8
     mesh = make_mesh((-1,), ("data",))
