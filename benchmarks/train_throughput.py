@@ -25,10 +25,11 @@ CONFIGS = [
     ("x3d_s", (13, 160), 64),
     ("slow_r50", (8, 224), 32),
     ("mvit_base_16x4", (16, 224), 8),
+    ("mvit_base_32x3", (32, 224), 4),
 ]
 
 
-def bench_train(name, geom, batch, bf16=False):
+def bench_train(name, geom, batch, bf16=False, remat=None):
     from pytorchvideo_tpu.models import hub
     from pytorchvideo_tpu.train import (
         OptimizerConfig,
@@ -61,6 +62,7 @@ def bench_train(name, geom, batch, bf16=False):
         tx,
         batch_transform=lambda k, v, l: mix(k, v, l),
         compute_dtype=jnp.bfloat16 if bf16 else None,
+        remat_policy=remat,
     )
 
     rng = np.random.default_rng(0)
@@ -86,7 +88,7 @@ def bench_train(name, geom, batch, bf16=False):
     sec = time_jitted(
         one_step, batch_dict["video"], batch_dict["label"], state, iters=5
     )
-    suffix = "_bf16" if bf16 else ""
+    suffix = ("_bf16" if bf16 else "") + ("_remat" if remat else "")
     print(
         json.dumps(
             {
@@ -101,10 +103,11 @@ def bench_train(name, geom, batch, bf16=False):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--bf16"]
-    bf16 = "--bf16" in sys.argv[1:]
-    only = set(args)
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    bf16 = "--bf16" in flags
+    remat = "dots_with_no_batch_dims_saveable" if "--remat" in flags else None
+    only = set(sys.argv[1:]) - flags
     for name, geom, batch in CONFIGS:
         if only and name not in only:
             continue
-        bench_train(name, geom, batch, bf16=bf16)
+        bench_train(name, geom, batch, bf16=bf16, remat=remat)

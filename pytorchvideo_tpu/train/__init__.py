@@ -37,6 +37,14 @@ from pytorchvideo_tpu.train.ssl import (  # noqa: F401
     batch_unshuffle,
     momentum_anneal_cosine,
 )
+from pytorchvideo_tpu.train.ssl_app import (  # noqa: F401
+    SSLConfig,
+    SSLTrainApp,
+    TwoViewTransform,
+    make_byol_train_step,
+    make_moco_train_step,
+    make_simclr_train_step,
+)
 from pytorchvideo_tpu.train.transforms import (  # noqa: F401
     ColorJitterVideoSSl,
     GaussianBlur,

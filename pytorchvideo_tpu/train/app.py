@@ -104,12 +104,19 @@ class VideoClassificationTrainApp:
                 mixed = mix.mix_video_transform(key, video, labels)
                 return mixed
 
+        compute_dtype = (
+            None
+            if self.cfg.trainer.compute_dtype in (None, "", "float32")
+            else jnp.dtype(self.cfg.trainer.compute_dtype)
+        )
         self._train_step = jax.jit(
             make_train_step(
                 self.model,
                 self.tx,
                 batch_transform=batch_transform,
                 clip_grad_norm=self.cfg.trainer.clip_grad_norm,
+                compute_dtype=compute_dtype,
+                remat_policy=self.cfg.trainer.remat_policy,
             )
         )
         self._eval_step = jax.jit(make_eval_step(self.model))

@@ -65,6 +65,11 @@ class TrainerConfig:
     log_dir: Optional[str] = None  # MetricsLogger jsonl output
     log_every_n_steps: int = 10
     test_ensemble_method: str = "sum"
+    # "float32" | "bfloat16": forward/backward compute dtype. bf16 keeps
+    # f32 master params/optimizer/BN stats (+47-66% step throughput on v5e).
+    compute_dtype: str = "float32"
+    # None | "full" | a jax.checkpoint_policies name: activation remat.
+    remat_policy: Optional[str] = None
 
 
 @dataclass

@@ -50,6 +50,7 @@ def make_train_step(
     input_key: str = "video",
     label_key: str = "label",
     compute_dtype: Optional[Any] = None,
+    remat_policy: Optional[str] = None,
 ):
     """Build a pure (state, batch, rng) -> (state, metrics) step.
 
@@ -63,6 +64,13 @@ def make_train_step(
     and loss stay f32; the forward/backward matmuls and activations run in
     ``compute_dtype`` — params and inputs are cast at the top of the loss
     so gradients come out f32 against the f32 masters.
+
+    ``remat_policy``: optional activation rematerialization (HBM-for-FLOPs
+    trade to fit bigger batches / longer clips). ``"full"`` saves nothing
+    across the fwd/bwd boundary (max memory savings, ~1 extra forward);
+    any other string names a ``jax.checkpoint_policies`` member, e.g.
+    ``"dots_with_no_batch_dims_saveable"`` (save matmul outputs, recompute
+    elementwise chains — the usual TPU sweet spot).
     """
 
     def step(state: TrainState, batch: Dict[str, Any], rng) -> Tuple[TrainState, Dict]:
@@ -71,6 +79,24 @@ def make_train_step(
         mix_key, dropout_key = jax.random.split(jax.random.fold_in(rng, state.step))
         if batch_transform is not None:
             video, labels = batch_transform(mix_key, video, labels)
+
+        def forward(params, x):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            return model.apply(
+                variables,
+                x,
+                True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_key},
+            )
+
+        if remat_policy is not None:
+            policy = (
+                None
+                if remat_policy == "full"
+                else getattr(jax.checkpoint_policies, remat_policy)
+            )
+            forward = jax.checkpoint(forward, policy=policy)
 
         def loss_of(params):
             x = video
@@ -82,14 +108,7 @@ def make_train_step(
                     params,
                 )
                 x = x.astype(compute_dtype)
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            out, mutated = model.apply(
-                variables,
-                x,
-                True,
-                mutable=["batch_stats"],
-                rngs={"dropout": dropout_key},
-            )
+            out, mutated = forward(params, x)
             loss = loss_fn(out.astype(jnp.float32), labels)
             return loss, (out, mutated.get("batch_stats", state.batch_stats))
 

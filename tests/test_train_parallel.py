@@ -89,6 +89,35 @@ def test_train_step_mixed_precision_bf16():
         assert leaf.dtype == jnp.float32
 
 
+def test_train_step_remat_matches_no_remat():
+    """Activation remat recomputes the same forward: identical updates."""
+    model = _tiny_model()
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 2, 32, 32, 3)), jnp.float32
+    )
+    labels = jnp.asarray([0, 1, 2, 3])
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    tx = construct_optimizer(
+        variables["params"], OptimizerConfig(method="sgd", lr=0.05)
+    )
+    batch = {"video": x, "label": labels}
+
+    results = []
+    for policy in (None, "full", "dots_with_no_batch_dims_saveable"):
+        state = create_train_state(variables, tx)
+        step = jax.jit(make_train_step(model, tx, remat_policy=policy))
+        state, metrics = step(state, batch, jax.random.PRNGKey(3))
+        results.append(
+            (float(metrics["loss"]), jax.tree_util.tree_leaves(state.params)[0])
+        )
+    base_loss, base_leaf = results[0]
+    for loss, leaf in results[1:]:
+        np.testing.assert_allclose(loss, base_loss, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(base_leaf), atol=1e-6
+        )
+
+
 def test_train_step_data_parallel_mesh():
     assert len(jax.devices()) == 8
     mesh = make_mesh((-1,), ("data",))

@@ -160,6 +160,7 @@ def test_train_app_end_to_end(tmp_path):
         cfg.lr_scheduler.max_iters = 2
         cfg.trainer.max_epochs = 1
         cfg.trainer.precise_bn_batches = 1
+        cfg.trainer.compute_dtype = "bfloat16"  # exercise mixed precision
         cfg.trainer.checkpoint_dir = str(tmp_path / "ckpt")
         os.makedirs(cfg.trainer.checkpoint_dir, exist_ok=True)
 
