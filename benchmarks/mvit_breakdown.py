@@ -4,6 +4,19 @@ Times the full model, then variants with one component knocked out
 (monkeypatched to a cheap stand-in). The delta attributes time to the
 component. Shapes change if pooling is removed, so pool ablation swaps
 conv->avg (same output shape, near-zero cost) rather than removing it.
+
+Measured v5e, batch 16 bf16 (2026-08): base 53.4 ms/batch ->
+attention core 13.9 ms (Pallas kernel + pad/unpad; standalone kernel sum
+across real depth shapes is ~8.6 ms at 40-70 TF/s, the rest is padding
+copies), k/v projection+pool chain ~18.9 ms by ablation (NOTE: isolated
+microbenches of the same chain cost only ~3-6 ms total — per-head vs
+full-channel depthwise layouts measure identical — so a chunk of this
+delta is cross-variant compile/fusion variance, not a single hot op),
+MLP fc1+act 6.3 ms, pool-conv taps 0.5 ms. Remaining ~14 ms: q chain,
+out-proj, LNs, patch embed, head. Conclusion: no single dominant
+op remains; further gains need HLO-level profiling (xprof), not kernel
+swaps. Kernel q-tile dispatch tuned from the depth-shape microbench
+(ops/pooled_attention.py).
 """
 
 import json
@@ -74,17 +87,30 @@ if __name__ == "__main__":
 
     base = timed(build, "full")
 
-    # 1) attention core -> identity on q (keeps pooling + projections)
-    orig_sdpa = A.scaled_dot_product_attention
-    orig_pooled = None
+    # 1) attention core -> near-free op that still CONSUMES k and v, so
+    # XLA cannot dead-code-eliminate the k/v projections and pools
+    # (returning bare q would over-attribute; see kernel microbench).
     import pytorchvideo_tpu.ops.pooled_attention as PA
 
+    orig_sdpa = A.scaled_dot_product_attention
     orig_pooled = PA.pooled_attention
+
+    def cheap(q, k, v, scale, residual_pool=False, **kw):
+        keep = (
+            jnp.mean(k, axis=2, keepdims=True)
+            + jnp.mean(v, axis=2, keepdims=True)
+        ) * jnp.asarray(1e-6, q.dtype)
+        return q + keep
+
+    PA.pooled_attention = cheap
+    A.scaled_dot_product_attention = cheap
+    no_attn = timed(build, "attention-core->cheap(kv kept)")
+    # 1b) identity-on-q variant: ALSO removes k/v projections+pools via DCE
     PA.pooled_attention = lambda q, k, v, scale, residual_pool=False, **kw: q
     A.scaled_dot_product_attention = (
         lambda q, k, v, scale, residual_pool: q
     )
-    no_attn = timed(build, "attention->identity")
+    no_attn_kv = timed(build, "attention+kvproj+kvpool->identity")
     PA.pooled_attention = orig_pooled
     A.scaled_dot_product_attention = orig_sdpa
 
@@ -115,7 +141,8 @@ if __name__ == "__main__":
     print(
         json.dumps(
             {
-                "attn_ms": round((base - no_attn) * 1e3, 2),
+                "attn_core_ms": round((base - no_attn) * 1e3, 2),
+                "kvproj_pool_ms": round((no_attn - no_attn_kv) * 1e3, 2),
                 "poolconv_ms": round((base - no_poolconv) * 1e3, 2),
                 "mlp_extra_ms": round((base - no_mlp) * 1e3, 2),
                 "base_ms": round(base * 1e3, 2),

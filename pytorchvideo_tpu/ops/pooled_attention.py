@@ -240,9 +240,9 @@ def pooled_attention_pallas_bwd(
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def pooled_attention_pallas_ad(
-    q, k, v, scale, residual_pool=False, interpret=False
+    q, k, v, scale, residual_pool=False, interpret=False, tile_q=_TILE_Q
 ):
     """Differentiable fused pooled attention (Pallas fwd + Pallas bwd).
 
@@ -250,18 +250,22 @@ def pooled_attention_pallas_ad(
     probs per q-tile (flash-attention style) so the (L_q, L_k) matrix
     never reaches HBM in either direction. Use in training.
     """
-    return pooled_attention_pallas(q, k, v, scale, residual_pool, interpret)
+    return pooled_attention_pallas(
+        q, k, v, scale, residual_pool, interpret, tile_q
+    )
 
 
-def _ad_fwd(q, k, v, scale, residual_pool, interpret):
-    out = pooled_attention_pallas(q, k, v, scale, residual_pool, interpret)
+def _ad_fwd(q, k, v, scale, residual_pool, interpret, tile_q):
+    out = pooled_attention_pallas(
+        q, k, v, scale, residual_pool, interpret, tile_q
+    )
     return out, (q, k, v)
 
 
-def _ad_bwd(scale, residual_pool, interpret, res, g):
+def _ad_bwd(scale, residual_pool, interpret, tile_q, res, g):
     q, k, v = res
     dq, dk, dv = pooled_attention_pallas_bwd(
-        q, k, v, g, scale, residual_pool, interpret
+        q, k, v, g, scale, residual_pool, interpret, tile_q
     )
     return dq, dk, dv
 
@@ -311,5 +315,11 @@ def pooled_attention(
                 and q.shape[2] >= 1024
             )
     if use_pallas:
-        return pooled_attention_pallas_ad(q, k, v, scale, residual_pool)
+        # Measured on v5e across the real MViT-B depth shapes: the smaller
+        # q-tile wins once Lq padding waste matters (Lq 1569 pads to 2048
+        # at tile 512 vs 1792 at 256); the large tile wins for Lq >= 8k.
+        tile_q = _TILE_Q if q.shape[2] >= 8192 else 256
+        return pooled_attention_pallas_ad(
+            q, k, v, scale, residual_pool, False, tile_q
+        )
     return pooled_attention_xla(q, k, v, scale, residual_pool)
