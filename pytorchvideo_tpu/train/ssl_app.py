@@ -266,6 +266,10 @@ class SSLTrainApp:
 
         factory = getattr(hub, self.cfg.model.name)
         kwargs = dict(self.cfg.model.kwargs or {})
+        if self.cfg.model.name.startswith("x3d"):
+            # X3D head pools are sized for the input geometry
+            kwargs.setdefault("input_clip_length", self.cfg.model.clip_length)
+            kwargs.setdefault("input_crop_size", self.cfg.model.crop_size)
         return factory(model_num_class=self.cfg.feature_dim, **kwargs)
 
     def setup(self, rng=None):

@@ -13,6 +13,12 @@ TPU-first):
   fuses into one XLA graph. Deterministic offset-based variants are also
   provided for exact parity with the reference's integer-slicing semantics.
 - Randomness is explicit: ops that sample take a ``jax.random`` key.
+- **Host/device polymorphism**: ops dispatch on input type. numpy input
+  (the host data pipeline, where random output shapes would force an XLA
+  recompile per call) takes a numpy/OpenCV fast path and returns numpy;
+  jax input keeps the pure-jnp path for on-device fused pipelines. The
+  reference has the same split (its opencv resize backend,
+  functional.py:45-89).
 """
 
 from __future__ import annotations
@@ -31,6 +37,11 @@ WIDTH_AXIS = -2
 CHANNEL_AXIS = -1
 
 
+def _is_host(x) -> bool:
+    """True for host-pipeline (numpy) data; False for jax arrays."""
+    return isinstance(x, np.ndarray)
+
+
 # ---------------------------------------------------------------------------
 # Layout adapters
 # ---------------------------------------------------------------------------
@@ -38,11 +49,15 @@ CHANNEL_AXIS = -1
 
 def cthw_to_thwc(x: jnp.ndarray) -> jnp.ndarray:
     """(..., C, T, H, W) -> (..., T, H, W, C)."""
+    if _is_host(x):
+        return np.moveaxis(x, -4, -1)
     return jnp.moveaxis(x, -4, -1)
 
 
 def thwc_to_cthw(x: jnp.ndarray) -> jnp.ndarray:
     """(..., T, H, W, C) -> (..., C, T, H, W)."""
+    if _is_host(x):
+        return np.moveaxis(x, -1, -4)
     return jnp.moveaxis(x, -1, -4)
 
 
@@ -70,6 +85,8 @@ def uniform_temporal_subsample(
     # and let them be constants in the jitted graph.
     indices = np.linspace(0, t - 1, num_samples)
     indices = np.clip(indices, 0, t - 1).astype(np.int64)
+    if _is_host(x):
+        return np.take(x, indices, axis=temporal_axis)
     return jnp.take(x, jnp.asarray(indices), axis=temporal_axis)
 
 
@@ -105,9 +122,26 @@ def resize(
 
     jax.image.resize with half-pixel centers == torch interpolate
     ``align_corners=False`` (the reference's only mode,
-    functional.py:125-128).
+    functional.py:125-128). numpy input resizes via OpenCV (also
+    half-pixel centers) — the host-pipeline fast path.
     """
     new_h, new_w = size
+    if _is_host(x):
+        import cv2
+
+        inter = (
+            cv2.INTER_LINEAR
+            if interpolation == "bilinear"
+            else cv2.INTER_NEAREST
+        )
+        flat = x.reshape((-1,) + x.shape[-3:])
+        out = np.stack(
+            [
+                cv2.resize(f, (new_w, new_h), interpolation=inter)
+                for f in flat
+            ]
+        )
+        return out.reshape(x.shape[:-3] + out.shape[-3:])
     out_shape = x.shape[:HEIGHT_AXIS] + (new_h, new_w) + (x.shape[-1],)
     return jax.image.resize(
         x, out_shape, method=_INTERP_METHODS[interpolation], antialias=False
@@ -137,6 +171,10 @@ def crop(x: jnp.ndarray, y_offset, x_offset, size: int) -> jnp.ndarray:
     Offsets may be traced scalars (lax.dynamic_slice under the hood), so a
     randomly-positioned crop stays a single static-shaped jitted op.
     """
+    if _is_host(x) and isinstance(y_offset, (int, np.integer)):
+        return x[
+            ..., y_offset : y_offset + size, x_offset : x_offset + size, :
+        ]
     h_ax = x.ndim + HEIGHT_AXIS
     w_ax = x.ndim + WIDTH_AXIS
     starts = [0] * x.ndim
@@ -189,6 +227,8 @@ def center_crop(x: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def horizontal_flip(x: jnp.ndarray) -> jnp.ndarray:
+    if _is_host(x):
+        return x[..., ::-1, :]
     return jnp.flip(x, axis=WIDTH_AXIS)
 
 
@@ -211,6 +251,10 @@ def normalize(
     x: jnp.ndarray, mean: Sequence[float], std: Sequence[float]
 ) -> jnp.ndarray:
     """Per-channel normalization, channels-last."""
+    if _is_host(x):
+        m = np.asarray(mean, dtype=x.dtype)
+        s = np.asarray(std, dtype=x.dtype)
+        return (x - m) / s
     mean = jnp.asarray(mean, dtype=x.dtype)
     std = jnp.asarray(std, dtype=x.dtype)
     return (x - mean) / std

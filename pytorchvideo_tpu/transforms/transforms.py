@@ -214,6 +214,8 @@ class ConvertUint8ToFloat:
 
     def __call__(self, x):
         assert x.dtype == jnp.uint8 or x.dtype == np.uint8, "image must be uint8"
+        if isinstance(x, np.ndarray):
+            return x.astype(np.float32) / 255.0
         return jnp.asarray(x, jnp.float32) / 255.0
 
 
@@ -224,6 +226,8 @@ class ConvertFloatToUint8:
         assert x.dtype in (jnp.float32, np.float32, jnp.float16), (
             "image must be float"
         )
+        if isinstance(x, np.ndarray):
+            return np.round(x * 255.0).astype(np.uint8)
         return jnp.asarray(jnp.round(jnp.asarray(x) * 255.0), jnp.uint8)
 
 
@@ -286,6 +290,8 @@ class Permute:
         self._dims = tuple(dims)
 
     def __call__(self, x):
+        if isinstance(x, np.ndarray):
+            return np.transpose(x, self._dims)
         return jnp.transpose(x, self._dims)
 
 
@@ -335,4 +341,6 @@ class Div255:
     """Divide by 255 (reference transforms.py:414-430)."""
 
     def __call__(self, x):
+        if isinstance(x, np.ndarray):  # host path stays numpy
+            return F.div_255(x.astype(np.float32, copy=False))
         return F.div_255(jnp.asarray(x, jnp.float32))

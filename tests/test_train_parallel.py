@@ -89,6 +89,37 @@ def test_train_step_mixed_precision_bf16():
         assert leaf.dtype == jnp.float32
 
 
+def test_local_group_sync_bn():
+    """BN with axis_index_groups syncs stats within sub-groups only — the
+    reference's NaiveSyncBatchNorm local groups (layers/batch_norm.py,
+    GroupGather) / num_sync_devices (video_classification.py:408-435)."""
+    import flax.linen as nn
+
+    from pytorchvideo_tpu.layers.norms import BatchNorm
+
+    n_dev = 8
+    groups = [[0, 1, 2, 3], [4, 5, 6, 7]]
+    bn = BatchNorm(
+        momentum=0.9, axis_name="data", axis_index_groups=groups
+    )
+    # device i sees constant value i -> group means 1.5 and 5.5
+    x = jnp.arange(n_dev, dtype=jnp.float32)[:, None, None] * jnp.ones(
+        (n_dev, 4, 3)
+    )
+    variables = bn.init(jax.random.PRNGKey(0), x[0], True)
+
+    def fwd(v, x):
+        out, mutated = bn.apply(v, x, True, mutable=["batch_stats"])
+        return mutated["batch_stats"]
+
+    stats = jax.pmap(fwd, axis_name="data", in_axes=(None, 0))(variables, x)
+    means = np.asarray(jax.tree_util.tree_leaves(stats)[0])  # ra_mean
+    # linen: ra_mean = 0.9*0 + 0.1*group_mean
+    got = means[:, 0]
+    expected = np.array([0.15] * 4 + [0.55] * 4)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
 def test_train_step_remat_matches_no_remat():
     """Activation remat recomputes the same forward: identical updates."""
     model = _tiny_model()

@@ -186,3 +186,66 @@ def test_random_short_side_scale_with_boxes():
             imgs, boxes, 20, 40, rng=np.random.default_rng(1)
         )
         assert 20 <= out.shape[1] <= 40
+
+
+class TestHostDevicePathParity:
+    """numpy (host-pipeline) fast paths vs the jnp (on-device) paths.
+
+    The host paths exist because random output shapes (RandomShortSideScale)
+    force an XLA recompile per call on CPU — 460 -> 25 ms/clip for the
+    factory train pipeline. They must stay numerically interchangeable.
+    """
+
+    def setup_method(self):
+        self.x = (
+            np.random.default_rng(0)
+            .uniform(0, 1, (5, 36, 48, 3))
+            .astype(np.float32)
+        )
+
+    def test_resize_parity(self):
+        host = F.resize(self.x, (24, 32))
+        dev = F.resize(jnp.asarray(self.x), (24, 32))
+        assert isinstance(host, np.ndarray)
+        np.testing.assert_allclose(host, np.asarray(dev), atol=2e-5)
+
+    def test_short_side_scale_parity(self):
+        host = F.short_side_scale(self.x, 24)
+        dev = F.short_side_scale(jnp.asarray(self.x), 24)
+        assert isinstance(host, np.ndarray)
+        assert host.shape == dev.shape
+        np.testing.assert_allclose(host, np.asarray(dev), atol=2e-5)
+
+    def test_crop_flip_subsample_normalize_parity(self):
+        for host, dev in [
+            (F.crop(self.x, 3, 5, 20), F.crop(jnp.asarray(self.x), 3, 5, 20)),
+            (F.center_crop(self.x, 24), F.center_crop(jnp.asarray(self.x), 24)),
+            (F.horizontal_flip(self.x), F.horizontal_flip(jnp.asarray(self.x))),
+            (
+                F.uniform_temporal_subsample(self.x, 3),
+                F.uniform_temporal_subsample(jnp.asarray(self.x), 3),
+            ),
+            (
+                F.normalize(self.x, [0.45] * 3, [0.225] * 3),
+                F.normalize(jnp.asarray(self.x), [0.45] * 3, [0.225] * 3),
+            ),
+        ]:
+            assert isinstance(host, np.ndarray)
+            np.testing.assert_allclose(host, np.asarray(dev), atol=1e-6)
+
+    def test_factory_train_pipeline_stays_numpy(self):
+        from pytorchvideo_tpu.transforms.transforms_factory import (
+            create_video_transform,
+        )
+
+        t = create_video_transform(
+            "train",
+            num_samples=4,
+            convert_to_float=False,
+            min_size=30,
+            max_size=40,
+            crop_size=24,
+        )
+        out = t(self.x)
+        assert isinstance(out, np.ndarray), type(out)
+        assert out.shape == (4, 24, 24, 3)
