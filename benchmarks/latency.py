@@ -1,0 +1,99 @@
+"""Single-clip (batch=1) deploy-form inference latency per model.
+
+The reference's accelerator headline is mobile latency for a 1-second
+clip (docs/source/model_zoo.md:70-77: EfficientX3d-XS 233 ms fp32 /
+165 ms int8 on Samsung S8; EfficientX3d-S 764 ms fp32). This harness
+measures the same protocol on one TPU chip — batch 1, deploy form
+(BN folded, bf16) — so BASELINE.md can carry the direct comparison row.
+
+Prints one json line per model: {"model", "latency_ms", "ref_mobile_ms"}.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+if "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] += ",cpu"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (name, factory, (T, crop), reference mobile fp32 latency ms or None)
+CONFIGS = [
+    ("efficient_x3d_xs", "efficient_x3d_xs", (4, 160), 233.0),
+    ("efficient_x3d_s", "efficient_x3d_s", (13, 160), 764.0),
+    ("x3d_xs", "x3d_xs", (4, 160), None),
+    ("x3d_s", "x3d_s", (13, 160), None),
+]
+
+
+def bench_latency(name, factory_name, geom, ref_ms):
+    from pytorchvideo_tpu.accelerate import fold_conv_bn
+    from pytorchvideo_tpu.models import hub
+    from pytorchvideo_tpu.utils.profiling import time_jitted
+
+    factory = getattr(hub, factory_name)
+    cpu = jax.devices("cpu")[0]
+    device = jax.devices()[0]
+    t, s = geom
+    rng = np.random.default_rng(0)
+
+    if name.startswith("efficient"):
+        # efficient-block protocol: init train form, convert() -> deploy form
+        block = factory(num_classes=400)
+        model = block.model
+        with jax.default_device(cpu):
+            variables = block.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, t, s, s, 3))
+            )
+            variables = fold_conv_bn(variables)
+            variables = {
+                "params": jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16), variables["params"]
+                ),
+                **{k: v for k, v in variables.items() if k != "params"},
+            }
+    else:
+        model = factory(model_num_class=400)
+        with jax.default_device(cpu):
+            variables = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, t, s, s, 3)), False
+            )
+            if "batch_stats" in variables:
+                variables = fold_conv_bn(variables)
+            variables = {
+                "params": jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16), variables["params"]
+                ),
+                **{k: v for k, v in variables.items() if k != "params"},
+            }
+    variables = jax.device_put(variables, device)
+    x = jax.device_put(
+        jnp.asarray(rng.uniform(-1, 1, (1, t, s, s, 3)), jnp.bfloat16), device
+    )
+
+    def fn(xx):
+        return model.apply(variables, xx, False)
+
+    sec = time_jitted(fn, x, iters=20)
+    out = {"model": name, "latency_ms": round(sec * 1e3, 3)}
+    if ref_ms is not None:
+        out["ref_mobile_ms"] = ref_ms
+        out["speedup_vs_mobile"] = round(ref_ms / (sec * 1e3), 1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    only = set(sys.argv[1:])
+    for cfg in CONFIGS:
+        if only and cfg[0] not in only:
+            continue
+        try:
+            bench_latency(*cfg)
+        except Exception as e:
+            print(json.dumps({"model": cfg[0], "error": str(e)}), flush=True)

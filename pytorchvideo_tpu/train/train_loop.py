@@ -51,6 +51,7 @@ def make_train_step(
     label_key: str = "label",
     compute_dtype: Optional[Any] = None,
     remat_policy: Optional[str] = None,
+    grad_accum_steps: int = 1,
 ):
     """Build a pure (state, batch, rng) -> (state, metrics) step.
 
@@ -71,6 +72,13 @@ def make_train_step(
     any other string names a ``jax.checkpoint_policies`` member, e.g.
     ``"dots_with_no_batch_dims_saveable"`` (save matmul outputs, recompute
     elementwise chains — the usual TPU sweet spot).
+
+    ``grad_accum_steps``: split the batch into N microbatches and
+    ``lax.scan`` over them — gradients averaged, ONE optimizer update, BN
+    stats threaded sequentially through microbatches. Effective batches
+    larger than HBM allows, with jit-static shapes (batch size must divide
+    evenly). Batch transforms (MixUp) run once on the whole batch first,
+    so mixing pairs span the full effective batch.
     """
 
     def step(state: TrainState, batch: Dict[str, Any], rng) -> Tuple[TrainState, Dict]:
@@ -80,26 +88,24 @@ def make_train_step(
         if batch_transform is not None:
             video, labels = batch_transform(mix_key, video, labels)
 
-        def forward(params, x):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            return model.apply(
-                variables,
-                x,
+        def forward(params, stats, x, key):
+            fwd = lambda p, xx: model.apply(
+                {"params": p, "batch_stats": stats},
+                xx,
                 True,
                 mutable=["batch_stats"],
-                rngs={"dropout": dropout_key},
+                rngs={"dropout": key},
             )
+            if remat_policy is not None:
+                policy = (
+                    None
+                    if remat_policy == "full"
+                    else getattr(jax.checkpoint_policies, remat_policy)
+                )
+                fwd = jax.checkpoint(fwd, policy=policy)
+            return fwd(params, x)
 
-        if remat_policy is not None:
-            policy = (
-                None
-                if remat_policy == "full"
-                else getattr(jax.checkpoint_policies, remat_policy)
-            )
-            forward = jax.checkpoint(forward, policy=policy)
-
-        def loss_of(params):
-            x = video
+        def loss_of(params, stats, x, y, key):
             if compute_dtype is not None:
                 params = jax.tree_util.tree_map(
                     lambda a: a.astype(compute_dtype)
@@ -107,14 +113,56 @@ def make_train_step(
                     else a,
                     params,
                 )
-                x = x.astype(compute_dtype)
-            out, mutated = forward(params, x)
-            loss = loss_fn(out.astype(jnp.float32), labels)
-            return loss, (out, mutated.get("batch_stats", state.batch_stats))
+                x = jax.tree_util.tree_map(
+                    lambda a: a.astype(compute_dtype), x
+                )
+            out, mutated = forward(params, stats, x, key)
+            loss = loss_fn(out.astype(jnp.float32), y)
+            return loss, (out, mutated.get("batch_stats", stats))
 
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
-            loss_of, has_aux=True
-        )(state.params)
+        grad_fn = jax.value_and_grad(loss_of, has_aux=True)
+
+        if grad_accum_steps > 1:
+            split = lambda a: a.reshape(
+                (grad_accum_steps, a.shape[0] // grad_accum_steps)
+                + a.shape[1:]
+            )
+            micro_videos = jax.tree_util.tree_map(split, video)
+            micro_labels = jax.tree_util.tree_map(split, labels)
+            micro_keys = jax.random.split(dropout_key, grad_accum_steps)
+
+            def micro(carry, xs):
+                stats, grad_sum, loss_sum, acc_sum = carry
+                v, y, key = xs
+                (loss, (logits, new_stats)), grads = grad_fn(
+                    state.params, stats, v, y, key
+                )
+                grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+                if y.ndim == 1:
+                    acc_sum = acc_sum + jnp.mean(
+                        (jnp.argmax(logits, -1) == y).astype(jnp.float32)
+                    )
+                return (new_stats, grad_sum, loss_sum + loss, acc_sum), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (new_stats, grads, loss_sum, acc_sum), _ = jax.lax.scan(
+                micro,
+                (state.batch_stats, zero_grads, jnp.float32(0), jnp.float32(0)),
+                (micro_videos, micro_labels, micro_keys),
+            )
+            inv = 1.0 / grad_accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss = loss_sum * inv
+            accuracy = acc_sum * inv if labels.ndim == 1 else None
+        else:
+            (loss, (logits, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, video, labels, dropout_key
+            )
+            accuracy = (
+                jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+                if labels.ndim == 1
+                else None
+            )
         if clip_grad_norm is not None:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, clip_grad_norm / (gnorm + 1e-6))
@@ -122,10 +170,8 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss}
-        if labels.ndim == 1:
-            metrics["accuracy"] = jnp.mean(
-                (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
-            )
+        if accuracy is not None:
+            metrics["accuracy"] = accuracy
         return (
             TrainState(
                 step=state.step + 1,

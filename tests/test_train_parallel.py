@@ -289,3 +289,76 @@ def test_graft_entry_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum_steps=N on a BN-free model reproduces the full-batch
+    update exactly: mean-of-microbatch grads == full-batch grad, one
+    optimizer update."""
+    model = models.create_multiscale_vision_transformers(
+        spatial_size=16,
+        temporal_size=2,
+        depth=1,
+        num_heads=2,
+        patch_embed_dim=16,
+        head_num_classes=5,
+        dropout_rate_block=0.0,
+        droppath_rate_block=0.0,
+        head_dropout_rate=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, 2, 16, 16, 3)), jnp.float32
+    )
+    labels = jnp.asarray([0, 1, 2, 3])
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    tx = construct_optimizer(
+        variables["params"], OptimizerConfig(method="sgd", lr=0.05)
+    )
+    batch = {"video": x, "label": labels}
+    key = jax.random.PRNGKey(7)
+
+    state1 = create_train_state(variables, tx)
+    step1 = jax.jit(make_train_step(model, tx))
+    state1, m1 = step1(state1, batch, key)
+
+    state2 = create_train_state(variables, tx)
+    step2 = jax.jit(make_train_step(model, tx, grad_accum_steps=2))
+    state2, m2 = step2(state2, batch, key)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m1["accuracy"]), float(m2["accuracy"]), atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5
+        )
+
+
+def test_grad_accum_threads_bn_stats():
+    """With BN, each microbatch sequentially updates running stats."""
+    model = _tiny_model()
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(4, 2, 32, 32, 3)), jnp.float32
+    )
+    labels = jnp.asarray([0, 1, 2, 3])
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    tx = construct_optimizer(
+        variables["params"], OptimizerConfig(method="sgd", lr=0.05)
+    )
+    state = create_train_state(variables, tx)
+    step = jax.jit(make_train_step(model, tx, grad_accum_steps=2))
+    new_state, metrics = step(state, {"video": x, "label": labels}, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    before = jax.tree_util.tree_leaves(state.batch_stats)
+    after = jax.tree_util.tree_leaves(new_state.batch_stats)
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after)
+    )
+    assert changed, "batch_stats did not update through the scan"
