@@ -80,7 +80,9 @@ def bench_latency(name, factory_name, geom, ref_ms):
     def fn(xx):
         return model.apply(variables, xx, False)
 
-    sec = time_jitted(fn, x, iters=20)
+    # sub-ms latencies: long trip counts so kernel time dominates the
+    # per-call dispatch noise through the device tunnel
+    sec = time_jitted(fn, x, iters=300, trials=4)
     out = {"model": name, "latency_ms": round(sec * 1e3, 3)}
     if ref_ms is not None:
         out["ref_mobile_ms"] = ref_ms

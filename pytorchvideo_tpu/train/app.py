@@ -117,6 +117,7 @@ class VideoClassificationTrainApp:
                 clip_grad_norm=self.cfg.trainer.clip_grad_norm,
                 compute_dtype=compute_dtype,
                 remat_policy=self.cfg.trainer.remat_policy,
+                grad_accum_steps=self.cfg.trainer.grad_accum_steps,
             )
         )
         self._eval_step = jax.jit(make_eval_step(self.model))

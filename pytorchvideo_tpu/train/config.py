@@ -70,6 +70,9 @@ class TrainerConfig:
     compute_dtype: str = "float32"
     # None | "full" | a jax.checkpoint_policies name: activation remat.
     remat_policy: Optional[str] = None
+    # >1: microbatch the step via lax.scan (gradient accumulation); the
+    # per-step batch size must divide evenly.
+    grad_accum_steps: int = 1
 
 
 @dataclass

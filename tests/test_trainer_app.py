@@ -161,6 +161,7 @@ def test_train_app_end_to_end(tmp_path):
         cfg.trainer.max_epochs = 1
         cfg.trainer.precise_bn_batches = 1
         cfg.trainer.compute_dtype = "bfloat16"  # exercise mixed precision
+        cfg.trainer.grad_accum_steps = 2  # exercise microbatch accumulation
         cfg.trainer.checkpoint_dir = str(tmp_path / "ckpt")
         os.makedirs(cfg.trainer.checkpoint_dir, exist_ok=True)
 
