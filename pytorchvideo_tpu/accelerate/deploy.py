@@ -68,4 +68,4 @@ def export_stablehlo(model, variables, example_input) -> bytes:
         return model.apply(vars_, x, False)
 
     exported = jax_export.export(jax.jit(forward))(variables, example_input)
-    return exported.serialize()
+    return bytes(exported.serialize())

@@ -357,3 +357,22 @@ def test_hub_model_builder():
 
     with pytest.raises(AssertionError):
         hub_model_builder(create_x3d, pretrained=True, model_num_class=7)
+
+
+def test_export_stablehlo_roundtrip():
+    """StableHLO serialization (the TPU serving artifact — the reference's
+    TorchScript/mobile-deploy analogue) deserializes and reproduces the
+    forward exactly."""
+    from jax import export as jax_export
+
+    from pytorchvideo_tpu.accelerate.deploy import export_stablehlo
+
+    model, variables, x = _tiny_x3d()
+    blob = export_stablehlo(model, variables, x)
+    assert isinstance(blob, bytes) and len(blob) > 0
+    restored = jax_export.deserialize(blob)
+    out = restored.call(variables, x)
+    ref = model.apply(variables, x, False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-6
+    )
