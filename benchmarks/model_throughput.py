@@ -74,21 +74,30 @@ def bench_model(name, factory_name, geom, batch):
     variables = jax.device_put(variables, device)
     x = jax.device_put(x, device)
 
+    int8 = os.environ.get("BENCH_INT8", "") == "1"
+    if int8:
+        from pytorchvideo_tpu.accelerate import int8_serving_fn
+
+        serving = int8_serving_fn(model)
     if name == "slowfast_r50":
         # multi-input: time with the slow pathway as the chained arg
         def fn(slow, fast):
+            if int8:
+                return serving(variables, [slow, fast])
             return model.apply(variables, [slow, fast], False)
 
         sec = time_jitted(fn, x[0], x[1], iters=10)
     else:
         def fn(xx):
+            if int8:
+                return serving(variables, xx)
             return model.apply(variables, xx, False)
 
         sec = time_jitted(fn, x, iters=10)
     print(
         json.dumps(
             {
-                "model": name,
+                "model": name + ("_int8" if int8 else ""),
                 "batch": batch,
                 "clips_per_sec_per_chip": round(batch / sec, 1),
             }

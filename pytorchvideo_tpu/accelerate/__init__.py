@@ -28,6 +28,10 @@ from pytorchvideo_tpu.accelerate.efficient_blocks import (  # noqa: F401
     NoOpConvertBlock,
 )
 from pytorchvideo_tpu.accelerate.fuse import fold_conv_bn, fuse_bn_mvit  # noqa: F401
+from pytorchvideo_tpu.accelerate.int8 import (  # noqa: F401
+    int8_serving_fn,
+    make_int8_interceptor,
+)
 from pytorchvideo_tpu.accelerate.quantize import (  # noqa: F401
     dequantize_variables,
     quantization_error,

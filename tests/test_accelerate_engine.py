@@ -376,3 +376,60 @@ def test_export_stablehlo_roundtrip():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-6
     )
+
+
+def test_int8_serving_numerics_mvit():
+    """Dynamic int8 dense serving (the QNNPACK-int8 analogue on the MXU):
+    per-channel int8 weights + per-token int8 activations keep MViT logits
+    within quantization tolerance and preserve predictions."""
+    from pytorchvideo_tpu import models
+    from pytorchvideo_tpu.accelerate import int8_serving_fn
+
+    model = models.create_multiscale_vision_transformers(
+        spatial_size=32,
+        temporal_size=4,
+        depth=2,
+        num_heads=2,
+        patch_embed_dim=64,
+        head_num_classes=10,
+        dropout_rate_block=0.0,
+        droppath_rate_block=0.0,
+        head_dropout_rate=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 4, 32, 32, 3)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    ref = model.apply(variables, x, False)
+    out = jax.jit(int8_serving_fn(model, min_weight_size=1024))(variables, x)
+    rel = float(
+        jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9)
+    )
+    assert rel < 0.05, rel
+    assert (jnp.argmax(out, -1) == jnp.argmax(ref, -1)).all()
+
+
+def test_int8_interceptor_threshold_gates_small_denses():
+    """Denses below min_weight_size stay un-quantized (exact output)."""
+    import flax.linen as nn
+
+    from pytorchvideo_tpu.accelerate import make_int8_interceptor
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(8, name="d")(x)
+
+    m = M()
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 8)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(v, x)
+    with nn.intercept_methods(make_int8_interceptor(min_weight_size=10_000)):
+        gated = m.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(gated), np.asarray(ref))
+    with nn.intercept_methods(make_int8_interceptor(min_weight_size=1)):
+        quant = m.apply(v, x)
+    assert not np.allclose(np.asarray(quant), np.asarray(ref), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(quant), np.asarray(ref), atol=0.05
+    )
