@@ -34,6 +34,7 @@ CONFIGS = [
 
 
 def bench_model(name, factory_name, geom, batch):
+    batch = int(os.environ.get("BENCH_BATCH", batch))
     from pytorchvideo_tpu.accelerate import fold_conv_bn, fuse_bn_mvit
     from pytorchvideo_tpu.models import hub
     from pytorchvideo_tpu.utils.profiling import time_jitted
