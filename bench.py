@@ -85,15 +85,18 @@ def main():
     float(loop(variables, x, N_SMALL))
     float(loop(variables, x, N_BIG))
 
-    best = float("inf")
-    for _ in range(3):
+    # difference the per-trip-count minima over several trials: robust to
+    # dispatch-latency noise through the device tunnel (min of per-trial
+    # differences can under/over-shoot when noise ~ kernel time)
+    best_small = best_big = float("inf")
+    for _ in range(5):
         t0 = time.perf_counter()
         float(loop(variables, x, N_SMALL))
-        t_small = time.perf_counter() - t0
+        best_small = min(best_small, time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(loop(variables, x, N_BIG))
-        t_big = time.perf_counter() - t0
-        best = min(best, (t_big - t_small) / (N_BIG - N_SMALL))
+        best_big = min(best_big, time.perf_counter() - t0)
+    best = (best_big - best_small) / (N_BIG - N_SMALL)
 
     clips_per_sec = BATCH / best
     print(

@@ -88,6 +88,7 @@ class VideoClassificationTrainApp:
             self.cfg.lr_scheduler, self.steps_per_epoch
         )
         self.tx = construct_optimizer(variables["params"], self.cfg.optim, schedule)
+        self._lr_schedule = schedule
         self.state = create_train_state(variables, self.tx)
 
         batch_transform = None
@@ -160,8 +161,16 @@ class VideoClassificationTrainApp:
                 if step % self.cfg.trainer.log_every_n_steps == 0:
                     loss = float(metrics["loss"])
                     history.append(loss)
+                    # per-step LR + exact epoch, the reference's
+                    # LearningRateMonitor/manual_update_lr logging
+                    # (module/video_classification.py:173-174)
+                    extra = {
+                        "exact_epoch": epoch + step / self.steps_per_epoch
+                    }
+                    if self._lr_schedule is not None:
+                        extra["lr"] = float(self._lr_schedule(global_step))
                     mlog.log(
-                        {k: v for k, v in metrics.items()},
+                        {**metrics, **extra},
                         step=global_step,
                         epoch=epoch,
                     )
