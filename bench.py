@@ -96,7 +96,9 @@ def main():
         t0 = time.perf_counter()
         float(loop(variables, x, N_BIG))
         best_big = min(best_big, time.perf_counter() - t0)
-    best = (best_big - best_small) / (N_BIG - N_SMALL)
+    diff = best_big - best_small
+    assert diff > 0, f"timing below noise floor (diff={diff:.6f}s)"
+    best = diff / (N_BIG - N_SMALL)
 
     clips_per_sec = BATCH / best
     print(

@@ -43,35 +43,25 @@ def bench_latency(name, factory_name, geom, ref_ms):
     t, s = geom
     rng = np.random.default_rng(0)
 
-    if name.startswith("efficient"):
-        # efficient-block protocol: init train form, convert() -> deploy form
-        block = factory(num_classes=400)
-        model = block.model
-        with jax.default_device(cpu):
+    from pytorchvideo_tpu.accelerate.deploy import cast_variables
+
+    with jax.default_device(cpu):
+        if name.startswith("efficient"):
+            # efficient-block protocol: init the train form, deploy-form
+            # weights via the same fold+cast convert() applies
+            block = factory(num_classes=400)
+            model = block.model
             variables = block.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, t, s, s, 3))
             )
-            variables = fold_conv_bn(variables)
-            variables = {
-                "params": jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16), variables["params"]
-                ),
-                **{k: v for k, v in variables.items() if k != "params"},
-            }
-    else:
-        model = factory(model_num_class=400)
-        with jax.default_device(cpu):
+        else:
+            model = factory(model_num_class=400)
             variables = model.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, t, s, s, 3)), False
             )
-            if "batch_stats" in variables:
-                variables = fold_conv_bn(variables)
-            variables = {
-                "params": jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16), variables["params"]
-                ),
-                **{k: v for k, v in variables.items() if k != "params"},
-            }
+        if "batch_stats" in variables:
+            variables = fold_conv_bn(variables)
+        variables = cast_variables(variables, jnp.bfloat16)
     variables = jax.device_put(variables, device)
     x = jax.device_put(
         jnp.asarray(rng.uniform(-1, 1, (1, t, s, s, 3)), jnp.bfloat16), device

@@ -79,7 +79,7 @@ def bench_model(name, factory_name, geom, batch):
     if int8:
         from pytorchvideo_tpu.accelerate import int8_serving_fn
 
-        serving = int8_serving_fn(model)
+        serving = int8_serving_fn(model, variables=variables)
     if name == "slowfast_r50":
         # multi-input: time with the slow pathway as the chained arg
         def fn(slow, fast):

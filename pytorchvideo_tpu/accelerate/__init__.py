@@ -31,6 +31,7 @@ from pytorchvideo_tpu.accelerate.fuse import fold_conv_bn, fuse_bn_mvit  # noqa:
 from pytorchvideo_tpu.accelerate.int8 import (  # noqa: F401
     int8_serving_fn,
     make_int8_interceptor,
+    prepare_int8_weights,
 )
 from pytorchvideo_tpu.accelerate.quantize import (  # noqa: F401
     dequantize_variables,

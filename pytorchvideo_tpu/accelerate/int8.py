@@ -20,14 +20,20 @@ Mechanism: a flax method interceptor swaps every large ``nn.Dense``
     activation dtype (XLA fuses quantize/rescale into neighbors).
 
 No model-code changes and no variable-tree changes: works on any model in
-the zoo and on imported reference checkpoints. Small denses (classifier
-heads, SE bottlenecks) stay in bf16/f32 — quantization overhead would
-exceed the matmul win there.
+the zoo and on imported reference checkpoints. Denses below
+``min_weight_size`` weights stay in bf16/f32 (at the default threshold
+that's only tiny projections — classifier heads ARE quantized; raise the
+threshold to exempt them). Pass ``variables`` to pre-quantize weights
+once host-side (they bake into the executable as int8 constants);
+otherwise weights are re-quantized inside every call, which costs an
+extra per-kernel pass.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -38,17 +44,63 @@ import flax.linen as nn
 DEFAULT_MIN_WEIGHT_SIZE = 16384
 
 
-def _int8_dense_call(mod: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
+def prepare_int8_weights(
+    variables, min_weight_size: int = DEFAULT_MIN_WEIGHT_SIZE
+) -> Dict[Tuple[str, ...], Tuple[np.ndarray, np.ndarray]]:
+    """Quantize every large 2D kernel once, keyed by module path.
+
+    The returned dict feeds :func:`int8_serving_fn` / the interceptor,
+    removing the per-call weight-quantization pass (the kernels become
+    int8 compile-time constants of the jitted serving fn).
+    """
+    out: Dict[Tuple[str, ...], Tuple[np.ndarray, np.ndarray]] = {}
+
+    def walk(tree, path):
+        if not isinstance(tree, dict):
+            return
+        k = tree.get("kernel")
+        if (
+            k is not None
+            and not isinstance(k, dict)
+            and getattr(k, "ndim", 0) == 2
+            and k.size >= min_weight_size
+        ):
+            w = np.asarray(k, np.float32)
+            absmax = np.abs(w).max(axis=0)
+            scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(
+                np.float32
+            )
+            q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+            out[path] = (q, scale)
+        for key, v in tree.items():
+            if key != "kernel":
+                walk(v, path + (key,))
+
+    walk(variables["params"], ())
+    return out
+
+
+def _int8_dense_call(
+    mod: nn.Dense, x: jnp.ndarray, prepared=None
+) -> jnp.ndarray:
     """Dynamic-quantized replacement for nn.Dense.__call__ (eval form)."""
     in_features = x.shape[-1]
-    w = mod.param(
-        "kernel", mod.kernel_init, (in_features, mod.features), mod.param_dtype
-    )
-    w = jnp.asarray(w, jnp.float32)
-    # per-output-channel symmetric weight scales
-    w_absmax = jnp.max(jnp.abs(w), axis=0)
-    w_scale = jnp.where(w_absmax > 0, w_absmax / 127.0, 1.0)
-    w_q = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+    if prepared is not None and mod.path in prepared:
+        q, scale = prepared[mod.path]
+        w_q = jnp.asarray(q)
+        w_scale = jnp.asarray(scale)
+    else:
+        w = mod.param(
+            "kernel",
+            mod.kernel_init,
+            (in_features, mod.features),
+            mod.param_dtype,
+        )
+        w = jnp.asarray(w, jnp.float32)
+        # per-output-channel symmetric weight scales
+        w_absmax = jnp.max(jnp.abs(w), axis=0)
+        w_scale = jnp.where(w_absmax > 0, w_absmax / 127.0, 1.0)
+        w_q = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
 
     # per-row (token) dynamic symmetric activation scales; quantize math
     # stays in the activation dtype (no f32 materialization of x — int
@@ -70,6 +122,7 @@ def _int8_dense_call(mod: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
 
 def make_int8_interceptor(
     min_weight_size: int = DEFAULT_MIN_WEIGHT_SIZE,
+    prepared=None,
 ) -> Callable:
     """flax ``intercept_methods`` interceptor quantizing large Dense calls."""
 
@@ -84,7 +137,7 @@ def make_int8_interceptor(
             and args[0].ndim >= 2
             and args[0].shape[-1] * mod.features >= min_weight_size
         ):
-            return _int8_dense_call(mod, args[0])
+            return _int8_dense_call(mod, args[0], prepared)
         return next_fn(*args, **kwargs)
 
     return interceptor
@@ -94,15 +147,31 @@ def int8_serving_fn(
     model,
     min_weight_size: int = DEFAULT_MIN_WEIGHT_SIZE,
     train_arg: Optional[bool] = False,
+    variables=None,
 ) -> Callable:
     """Build ``fn(variables, x)``: model.apply with int8 dense layers.
 
-    jit-compatible (the interceptor rewrites at trace time). Example::
+    jit-compatible (the interceptor rewrites at trace time). Pass
+    ``variables`` to pre-quantize kernel weights host-side once.
+    Example::
 
-        fn = jax.jit(int8_serving_fn(model))
+        fn = jax.jit(int8_serving_fn(model, variables=variables))
         logits = fn(variables, clips)
     """
-    interceptor = make_int8_interceptor(min_weight_size)
+    prepared = (
+        prepare_int8_weights(variables, min_weight_size)
+        if variables is not None
+        else None
+    )
+    if prepared is not None:
+        # jax arrays close over as jaxpr constvars (runtime buffers);
+        # raw numpy would inline into the HLO as literals and blow up
+        # compile time for multi-MB weight trees
+        prepared = {
+            path: (jnp.asarray(q), jnp.asarray(s))
+            for path, (q, s) in prepared.items()
+        }
+    interceptor = make_int8_interceptor(min_weight_size, prepared)
 
     def fn(variables, x):
         with nn.intercept_methods(interceptor):

@@ -168,7 +168,11 @@ class VideoClassificationTrainApp:
                         "exact_epoch": epoch + step / self.steps_per_epoch
                     }
                     if self._lr_schedule is not None:
-                        extra["lr"] = float(self._lr_schedule(global_step))
+                        # index by the optimizer's own step count (state.step
+                        # post-update) so repeated train() calls on one app
+                        # report the continued schedule, not a restart
+                        sched_step = max(int(self.state.step) - 1, 0)
+                        extra["lr"] = float(self._lr_schedule(sched_step))
                     mlog.log(
                         {**metrics, **extra},
                         step=global_step,

@@ -123,10 +123,16 @@ def make_train_step(
         grad_fn = jax.value_and_grad(loss_of, has_aux=True)
 
         if grad_accum_steps > 1:
-            split = lambda a: a.reshape(
-                (grad_accum_steps, a.shape[0] // grad_accum_steps)
-                + a.shape[1:]
-            )
+            def split(a):
+                if a.shape[0] % grad_accum_steps != 0:
+                    raise ValueError(
+                        f"batch size {a.shape[0]} is not divisible by "
+                        f"grad_accum_steps={grad_accum_steps}"
+                    )
+                return a.reshape(
+                    (grad_accum_steps, a.shape[0] // grad_accum_steps)
+                    + a.shape[1:]
+                )
             micro_videos = jax.tree_util.tree_map(split, video)
             micro_labels = jax.tree_util.tree_map(split, labels)
             micro_keys = jax.random.split(dropout_key, grad_accum_steps)

@@ -69,4 +69,10 @@ def time_jitted(
         t0 = time.perf_counter()
         float(loop(args, iters + 1))
         best_big = min(best_big, time.perf_counter() - t0)
-    return max(best_big - best_small, 0.0) / iters
+    diff = best_big - best_small
+    if diff <= 0:
+        raise RuntimeError(
+            f"kernel time below measurement noise floor "
+            f"(diff={diff * 1e3:.3f} ms over {iters} iters); raise `iters`"
+        )
+    return diff / iters

@@ -433,3 +433,33 @@ def test_int8_interceptor_threshold_gates_small_denses():
     np.testing.assert_allclose(
         np.asarray(quant), np.asarray(ref), atol=0.05
     )
+
+
+def test_int8_prepared_weights_match_dynamic():
+    """Host-side pre-quantized kernels (compile-time int8 constants) must
+    reproduce the per-call weight-quantization path exactly."""
+    from pytorchvideo_tpu import models
+    from pytorchvideo_tpu.accelerate import int8_serving_fn, prepare_int8_weights
+
+    model = models.create_multiscale_vision_transformers(
+        spatial_size=32,
+        temporal_size=2,
+        depth=1,
+        num_heads=2,
+        patch_embed_dim=64,
+        head_num_classes=6,
+        dropout_rate_block=0.0,
+        droppath_rate_block=0.0,
+        head_dropout_rate=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, 2, 32, 32, 3)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    prepared = prepare_int8_weights(variables, min_weight_size=1024)
+    assert prepared, "no kernels collected"
+    dyn = int8_serving_fn(model, min_weight_size=1024)(variables, x)
+    pre = int8_serving_fn(model, min_weight_size=1024, variables=variables)(
+        variables, x
+    )
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(dyn), atol=1e-6)
