@@ -27,11 +27,38 @@ def infer_param_shardings(
     params,
     mesh: Mesh,
     rules: Sequence[Tuple[str, P]] = (),
+    fsdp_axis: str = None,
+    fsdp_min_size: int = 2**16,
 ):
-    """Map a params pytree to NamedShardings by path rules (default:
-    replicate everything not matched)."""
+    """Map a params pytree to NamedShardings by path rules.
+
+    Unmatched params replicate — unless ``fsdp_axis`` is given, in which
+    case every unmatched param with ``>= fsdp_min_size`` elements is
+    sharded along its largest evenly-divisible dimension over that mesh
+    axis (FSDP/ZeRO-3 under GSPMD: XLA all-gathers params for compute
+    and reduce-scatters grads; optimizer state inherits the param
+    sharding, so master weights + momenta are sharded too). Models here
+    are small (<= 63M params) so this is an extension beyond reference
+    parity, useful once per-chip HBM is tight (e.g. long-clip MViT
+    training with big batches).
+    """
     compiled = [(re.compile(pat), spec) for pat, spec in rules]
-    flat = jax.tree_util.tree_flatten_with_path(params)
+
+    def fsdp_spec(leaf):
+        if leaf.ndim == 0 or leaf.size < fsdp_min_size:
+            return None
+        n = mesh.shape[fsdp_axis]
+        # shard the largest divisible dim (ties -> last such dim, which
+        # for conv/dense kernels is the output-features dim)
+        best_dim, best = None, 0
+        for dim, s in enumerate(leaf.shape):
+            if s % n == 0 and s >= best:
+                best_dim, best = dim, s
+        if best_dim is None:
+            return None
+        spec = [None] * leaf.ndim
+        spec[best_dim] = fsdp_axis
+        return P(*spec)
 
     def spec_for(path_str, leaf):
         for pat, spec in compiled:
@@ -46,6 +73,10 @@ def infer_param_shardings(
                         ok = False
                 if ok:
                     return NamedSharding(mesh, spec)
+        if fsdp_axis is not None:
+            spec = fsdp_spec(leaf)
+            if spec is not None:
+                return NamedSharding(mesh, spec)
         return NamedSharding(mesh, P())
 
     def walk(tree, path=()):

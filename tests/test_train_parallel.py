@@ -362,3 +362,64 @@ def test_grad_accum_threads_bn_stats():
         for a, b in zip(before, after)
     )
     assert changed, "batch_stats did not update through the scan"
+
+
+def test_fsdp_shardings_match_replicated():
+    """FSDP (ZeRO-3 via GSPMD): large params sharded over the data axis;
+    the train step compiles, runs, and matches the replicated result.
+    Beyond reference parity (SURVEY 2.10) — useful when HBM is tight."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh((-1,), ("data",))
+    model = _tiny_model()
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(8, 2, 32, 32, 3)), jnp.float32
+    )
+    labels = jnp.asarray(np.arange(8) % 5)
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    tx = construct_optimizer(variables["params"], OptimizerConfig(lr=0.05))
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx)
+
+    shardings = infer_param_shardings(
+        variables["params"], mesh, fsdp_axis="data", fsdp_min_size=256
+    )
+    specs = {
+        tuple(s.spec)
+        for s in jax.tree_util.tree_leaves(shardings)
+        if any(a is not None for a in s.spec)
+    }
+    assert specs, "no parameter got FSDP-sharded"
+
+    from pytorchvideo_tpu.train import TrainState
+
+    repl = NamedSharding(mesh, P())
+    state_shardings = TrainState(
+        step=repl,
+        params=shardings,
+        batch_stats=jax.tree_util.tree_map(
+            lambda _: repl, state.batch_stats
+        ),
+        # optimizer state (SGD momentum) mirrors the param tree layout
+        opt_state=jax.tree_util.tree_map(
+            lambda _: repl, state.opt_state
+        ),
+    )
+    state_f = jax.device_put(state, state_shardings)
+    batch = shard_batch({"video": x, "label": labels}, mesh)
+    state_f2, metrics_f = jax.jit(step)(state_f, batch, jax.random.PRNGKey(0))
+
+    state_r = jax.device_put(state, jax.devices()[0])
+    state_r2, metrics_r = jax.jit(step)(
+        state_r, {"video": x, "label": labels}, jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(
+        float(metrics_f["loss"]), float(metrics_r["loss"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_f2.params),
+        jax.tree_util.tree_leaves(state_r2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
