@@ -34,6 +34,12 @@ import pytest
 _EXIT_STATUS = [0]
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (full-size model parity runs)"
+    )
+
+
 def pytest_sessionfinish(session, exitstatus):
     _EXIT_STATUS[0] = int(exitstatus)
 
