@@ -59,8 +59,8 @@ def main():
     backbone = app.backbone_variables()
     n = sum(x.size for x in
             __import__("jax").tree_util.tree_leaves(backbone["params"]))
-    print(f"pretrained backbone: {n/1e6:.2f}M params "
-          f"(reusable via VideoClassificationTrainApp checkpoint surgery)")
+    print(f"pretrained backbone: {n/1e6:.2f}M params — fine-tune with "
+          f"VideoClassificationTrainApp.load_ssl_backbone(backbone)")
 
 
 if __name__ == "__main__":

@@ -287,3 +287,43 @@ class VideoClassificationTrainApp:
             step=restored["step"],
         )
         return self.state
+
+    def load_ssl_backbone(self, backbone_variables) -> int:
+        """SSL -> classification surgery (the reference's
+        create_classification_model_from_ssl_checkpoint,
+        module/ssl_helper.py:67): graft every pretrained backbone leaf
+        whose path+shape matches onto this app's variables, keeping the
+        freshly-initialized classifier head. Call after setup(); feed
+        ``SSLTrainApp.backbone_variables()``. Returns the number of
+        grafted leaves.
+        """
+        assert self.state is not None, "call setup() first"
+        grafted = [0]
+
+        def graft(ours, theirs):
+            if isinstance(ours, dict):
+                return {
+                    k: (
+                        graft(v, theirs[k])
+                        if isinstance(theirs, dict) and k in theirs
+                        else v
+                    )
+                    for k, v in ours.items()
+                }
+            if (
+                hasattr(theirs, "shape")
+                and getattr(ours, "shape", None) == theirs.shape
+            ):
+                grafted[0] += 1
+                return jnp.asarray(theirs, ours.dtype)
+            return ours
+
+        new_params = graft(self.state.params, backbone_variables["params"])
+        new_stats = graft(
+            self.state.batch_stats,
+            backbone_variables.get("batch_stats", {}),
+        )
+        self.state = self.state.replace(
+            params=new_params, batch_stats=new_stats
+        )
+        return grafted[0]

@@ -227,3 +227,62 @@ def test_metrics_logger(tmp_path):
     assert lines[1]["loss"] == 0.5 and "epoch" not in lines[1]
     # no log_dir: stdout-only, no crash
     T.MetricsLogger(None).log({"a": 1}, step=0)
+
+
+def test_load_ssl_backbone_surgery(tmp_path):
+    """SSL->classification surgery: backbone leaves graft by path+shape,
+    the classifier head keeps its fresh init (reference
+    create_classification_model_from_ssl_checkpoint, ssl_helper.py:67)."""
+    csv_path, ctx = _make_csv_dataset(str(tmp_path))
+    try:
+        kwargs = dict(
+            stem_dim_in=8,
+            input_clip_length=4,
+            input_crop_size=32,
+            depth_factor=0.1,
+        )
+        cfg = T.VideoClassificationTrainConfig()
+        cfg.model = T.ModelConfig(
+            name="x3d_xs", num_classes=5, kwargs=kwargs,
+            clip_length=4, crop_size=32,
+        )
+        cfg.data = T.DataConfig(
+            data_path=csv_path, clip_duration=1.0, batch_size=2,
+            num_samples=4, crop_size=32,
+        )
+        app = T.VideoClassificationTrainApp(cfg, steps_per_epoch=1)
+        app.setup()
+        head_before = jax.tree_util.tree_leaves(
+            app.state.params["blocks_5"]["proj"]
+        )
+
+        # "pretrained" backbone: same arch, different head width (the SSL
+        # feature head), weights distinct from the app's init
+        from pytorchvideo_tpu.models import hub
+
+        backbone = hub.x3d_xs(model_num_class=16, **kwargs)
+        bvars = backbone.init(
+            jax.random.PRNGKey(99), jnp.zeros((1, 4, 32, 32, 3)), False
+        )
+        n = app.load_ssl_backbone(bvars)
+        assert n > 0, "nothing grafted"
+
+        # every shape-matched leaf now equals the pretrained value
+        stem_ours = jax.tree_util.tree_leaves(app.state.params["blocks_0"])
+        stem_theirs = jax.tree_util.tree_leaves(bvars["params"]["blocks_0"])
+        for a, b in zip(stem_ours, stem_theirs):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the classification head kept its fresh init (shape mismatch)
+        head_after = jax.tree_util.tree_leaves(
+            app.state.params["blocks_5"]["proj"]
+        )
+        for a, b in zip(head_before, head_after):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        proj_ours = app.state.params["blocks_5"]["proj"]
+        assert any(
+            l.shape[-1] == 5
+            for l in jax.tree_util.tree_leaves(proj_ours)
+            if hasattr(l, "shape") and l.ndim >= 1
+        )
+    finally:
+        ctx.__exit__(None, None, None)
