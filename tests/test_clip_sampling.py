@@ -113,3 +113,51 @@ def test_make_clip_sampler_factory():
     )
     with pytest.raises(NotImplementedError):
         ours.make_clip_sampler("bogus", 1.0)
+
+
+def test_uniform_clip_sampler_randomized_property_sweep():
+    """200 random (duration, clip_dur, stride, backpad, fps-rational)
+    configs: our Fraction-exact boundary math must match the reference
+    clip-for-clip. This is the load-bearing parity surface (SURVEY §7
+    hard part 7: fraction-accurate clip arithmetic)."""
+    rng = np.random.default_rng(0)
+    checked = 0
+    for trial in range(200):
+        fps = int(rng.choice([24, 25, 30, 60]))
+        # durations/strides as frame-count rationals (the real data case)
+        # plus occasional ugly floats
+        if rng.random() < 0.5:
+            clip_dur = Fraction(int(rng.integers(8, 65)), fps)
+            stride = (
+                None
+                if rng.random() < 0.3
+                else Fraction(int(rng.integers(4, 49)), fps)
+            )
+            duration = Fraction(int(rng.integers(10, 400)), fps)
+        else:
+            clip_dur = float(rng.uniform(0.3, 3.0))
+            stride = None if rng.random() < 0.3 else float(rng.uniform(0.2, 2.5))
+            duration = float(rng.uniform(0.5, 15.0))
+        if float(duration) < float(clip_dur):
+            continue
+        backpad = bool(rng.random() < 0.5)
+        ours_s = ours.UniformClipSampler(clip_dur, stride, backpad)
+        ref_s = ref.UniformClipSampler(clip_dur, stride, backpad)
+        a_clips = _drain_uniform(ours_s, duration)
+        b_clips = _drain_uniform(ref_s, duration)
+        assert len(a_clips) == len(b_clips), (
+            trial, fps, clip_dur, stride, duration, backpad,
+            len(a_clips), len(b_clips),
+        )
+        for a, b in zip(a_clips, b_clips):
+            assert float(a.clip_start_sec) == pytest.approx(
+                float(b.clip_start_sec)
+            ), (trial, clip_dur, stride, duration, backpad)
+            assert float(a.clip_end_sec) == pytest.approx(
+                float(b.clip_end_sec)
+            )
+            assert (a.clip_index, a.aug_index, a.is_last_clip) == (
+                b.clip_index, b.aug_index, b.is_last_clip,
+            )
+        checked += 1
+    assert checked > 150
