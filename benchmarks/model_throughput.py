@@ -24,7 +24,7 @@ import numpy as np
 
 CONFIGS = [
     # (name, factory, input shape(s) (T, crop), batch)
-    ("x3d_xs", "x3d_xs", (4, 160), 256),
+    ("x3d_xs", "x3d_xs", (4, 160), 256),  # 64->10760, 256->14410, 512->13264 clips/s
     ("x3d_s", "x3d_s", (13, 160), 128),
     ("slow_r50", "slow_r50", (8, 224), 64),
     ("slowfast_r50", "slowfast_r50", None, 64),  # 16->995, 32->1048, 64->1092 clips/s
