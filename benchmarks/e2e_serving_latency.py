@@ -15,12 +15,12 @@ host->device transfer and dispatch of one clip.
 
 Environment caveat (recorded in the output): on this dev box the chip sits
 behind the axon network tunnel, whose per-call dispatch+readback round
-trip dominates model_ms (measured 508 ms vs the chip's actual 1.0 ms
-batch-1 X3D-S kernel latency, benchmarks/latency.py) — and the single
-exposed host core bounds decode. On a production host (chip directly
-attached, N cores) the pipeline is decode-bound: total ≈ decode_ms/N_eff
-+ ~2 ms model, i.e. tens of ms per 1 s clip vs the reference's 130 ms
-mobile anchor.
+trip dominates the non-decode time (measured ~696 ms vs the chip's actual
+1.0 ms batch-1 X3D-S kernel latency, benchmarks/latency.py) — and the
+single exposed host core bounds decode (~18 ms per warm 1 s clip). On a
+production host (chip directly attached, N cores) the pipeline is
+decode-bound: total ≈ decode_ms/N_eff + ~2 ms model, i.e. tens of ms per
+1 s clip vs the reference's 130 ms mobile anchor.
 
 Prints one json line: {"total_ms_per_1s_clip", "decode_ms", "model_ms",
 "chip_model_ms", "realtime_factor", "ref_mobile_ms": 130}.
@@ -88,29 +88,38 @@ def main():
         path = write_video(td)
         decode = DecodeHook(executor=clip_decode, decode_audio=False)
         cls = X3DClsHook()
-        engine = NeuralEngine([decode, cls])  # validates the DAG wiring
+        engine = NeuralEngine([decode, cls])
 
-        decode_ms, model_ms, total_ms = [], [], []
+        # stage pre-pass: decode cost per clip (same hook the engine runs)
+        decode_ms = []
         for i in range(N_CLIPS):
             t0 = time.perf_counter()
-            status = decode.run(
+            decode.run(
                 dict(
                     path=path,
                     start_sec=i * SECONDS,
                     end_sec=(i + 1) * SECONDS,
                 )
             )
-            t1 = time.perf_counter()
-            out = cls.run(status)
+            decode_ms.append((time.perf_counter() - t0) * 1e3)
+
+        # timed path: the engine itself dispatches the hook DAG
+        total_ms = []
+        for i in range(N_CLIPS):
+            status = dict(
+                path=path,
+                start_sec=i * SECONDS,
+                end_sec=(i + 1) * SECONDS,
+            )
+            t0 = time.perf_counter()
+            out = engine.run(status)
             np.asarray(out["action_class"])  # force device sync
-            t2 = time.perf_counter()
-            decode_ms.append((t1 - t0) * 1e3)
-            model_ms.append((t2 - t1) * 1e3)
-            total_ms.append((t2 - t0) * 1e3)
+            total_ms.append((time.perf_counter() - t0) * 1e3)
 
         steady = slice(2, None)
         med = lambda xs: round(float(np.median(xs[steady])), 1)
         total = med(np.asarray(total_ms))
+        model_ms = np.asarray(total_ms) - np.asarray(decode_ms)
         print(
             json.dumps(
                 {

@@ -56,8 +56,11 @@ def main():
     model = getattr(hub, args.model)(model_num_class=args.classes)
     example = jnp.zeros((1, num_frames, crop, crop, 3))
     if args.checkpoint:
-        variables = hub.load_pretrained_variables(
-            model, args.checkpoint, example
+        from pytorchvideo_tpu.zoo.import_torch import X3D_RENAME_RULES
+
+        rules = X3D_RENAME_RULES if args.model.startswith("x3d") else None
+        variables, report = hub.load_pretrained_variables(
+            model, example, args.checkpoint, rename_rules=rules
         )
     else:
         variables = model.init(jax.random.PRNGKey(0), example, False)

@@ -7,6 +7,7 @@ from pytorchvideo_tpu.parallel.mesh import (  # noqa: F401
 from pytorchvideo_tpu.parallel.sharding import (  # noqa: F401
     MEGATRON_ATTENTION_RULES,
     infer_param_shardings,
+    optimizer_state_shardings,
 )
 from pytorchvideo_tpu.parallel.collectives import (  # noqa: F401
     all_gather_with_grad,

@@ -36,11 +36,12 @@ def infer_param_shardings(
     case every unmatched param with ``>= fsdp_min_size`` elements is
     sharded along its largest evenly-divisible dimension over that mesh
     axis (FSDP/ZeRO-3 under GSPMD: XLA all-gathers params for compute
-    and reduce-scatters grads; optimizer state inherits the param
-    sharding, so master weights + momenta are sharded too). Models here
-    are small (<= 63M params) so this is an extension beyond reference
-    parity, useful once per-chip HBM is tight (e.g. long-clip MViT
-    training with big batches).
+    and reduce-scatters grads). Shard the optimizer state to match with
+    :func:`optimizer_state_shardings` — that's where the ZeRO memory win
+    for master weights + momenta comes from. Models here are small
+    (<= 63M params) so this is an extension beyond reference parity,
+    useful once per-chip HBM is tight (e.g. long-clip MViT training with
+    big batches).
     """
     compiled = [(re.compile(pat), spec) for pat, spec in rules]
 
@@ -85,3 +86,30 @@ def infer_param_shardings(
         return spec_for("/" + "/".join(path), tree)
 
     return walk(params)
+
+
+def optimizer_state_shardings(opt_state, param_shardings, mesh: Mesh):
+    """Shardings for an optax state mirroring the param shardings.
+
+    optax states embed params-shaped subtrees (SGD momentum `trace`,
+    Adam `mu`/`nu`, ...): each such subtree inherits ``param_shardings``
+    wholesale, so sharded params (FSDP/TP) get equally-sharded optimizer
+    state — the ZeRO memory benefit. Everything else (step counts,
+    scalars) replicates.
+    """
+    repl = NamedSharding(mesh, P())
+    pdef = jax.tree_util.tree_structure(param_shardings)
+
+    def is_params_shaped(node):
+        try:
+            return jax.tree_util.tree_structure(node) == pdef
+        except Exception:
+            return False
+
+    return jax.tree_util.tree_map(
+        lambda node: param_shardings
+        if is_params_shaped(node)
+        else jax.tree_util.tree_map(lambda _: repl, node),
+        opt_state,
+        is_leaf=is_params_shaped,
+    )

@@ -293,12 +293,39 @@ class VideoClassificationTrainApp:
         create_classification_model_from_ssl_checkpoint,
         module/ssl_helper.py:67): graft every pretrained backbone leaf
         whose path+shape matches onto this app's variables, keeping the
-        freshly-initialized classifier head. Call after setup(); feed
+        freshly-initialized classifier head. The head's final projection
+        is excluded explicitly (not just by shape mismatch), so an SSL
+        feature_dim that happens to equal num_classes cannot overwrite
+        the classifier. Call after setup(); feed
         ``SSLTrainApp.backbone_variables()``. Returns the number of
         grafted leaves.
         """
+        import re
+
         assert self.state is not None, "call setup() first"
         grafted = [0]
+
+        def head_key(params):
+            keys = list(params.keys())
+            if "head" in keys:
+                return "head"
+            ids = [
+                int(k.split("_")[1])
+                for k in keys
+                if re.fullmatch(r"blocks_\d+", k)
+            ]
+            return f"blocks_{max(ids)}" if ids else None
+
+        hk = head_key(self.state.params)
+        backbone_params = dict(backbone_variables["params"])
+        if (
+            hk
+            and isinstance(backbone_params.get(hk), dict)
+            and "proj" in backbone_params[hk]
+        ):
+            sub = dict(backbone_params[hk])
+            sub.pop("proj")
+            backbone_params[hk] = sub
 
         def graft(ours, theirs):
             if isinstance(ours, dict):
@@ -318,7 +345,7 @@ class VideoClassificationTrainApp:
                 return jnp.asarray(theirs, ours.dtype)
             return ours
 
-        new_params = graft(self.state.params, backbone_variables["params"])
+        new_params = graft(self.state.params, backbone_params)
         new_stats = graft(
             self.state.batch_stats,
             backbone_variables.get("batch_stats", {}),

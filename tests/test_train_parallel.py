@@ -391,19 +391,25 @@ def test_fsdp_shardings_match_replicated():
     }
     assert specs, "no parameter got FSDP-sharded"
 
+    from pytorchvideo_tpu.parallel import optimizer_state_shardings
     from pytorchvideo_tpu.train import TrainState
 
     repl = NamedSharding(mesh, P())
+    opt_shardings = optimizer_state_shardings(
+        state.opt_state, shardings, mesh
+    )
+    # the SGD momentum subtree inherited the FSDP param shardings
+    assert any(
+        any(a is not None for a in s.spec)
+        for s in jax.tree_util.tree_leaves(opt_shardings)
+    ), "optimizer state not sharded"
     state_shardings = TrainState(
         step=repl,
         params=shardings,
         batch_stats=jax.tree_util.tree_map(
             lambda _: repl, state.batch_stats
         ),
-        # optimizer state (SGD momentum) mirrors the param tree layout
-        opt_state=jax.tree_util.tree_map(
-            lambda _: repl, state.opt_state
-        ),
+        opt_state=opt_shardings,
     )
     state_f = jax.device_put(state, state_shardings)
     batch = shard_batch({"video": x, "label": labels}, mesh)

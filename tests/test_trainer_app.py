@@ -286,3 +286,47 @@ def test_load_ssl_backbone_surgery(tmp_path):
         )
     finally:
         ctx.__exit__(None, None, None)
+
+
+def test_load_ssl_backbone_excludes_head_even_when_shapes_match(tmp_path):
+    """feature_dim == num_classes: the classifier projection must NOT be
+    overwritten by the SSL feature head (explicit exclusion, not just
+    shape mismatch)."""
+    csv_path, ctx = _make_csv_dataset(str(tmp_path))
+    try:
+        kwargs = dict(
+            stem_dim_in=8,
+            input_clip_length=4,
+            input_crop_size=32,
+            depth_factor=0.1,
+        )
+        cfg = T.VideoClassificationTrainConfig()
+        cfg.model = T.ModelConfig(
+            name="x3d_xs", num_classes=5, kwargs=kwargs,
+            clip_length=4, crop_size=32,
+        )
+        cfg.data = T.DataConfig(
+            data_path=csv_path, clip_duration=1.0, batch_size=2,
+            num_samples=4, crop_size=32,
+        )
+        app = T.VideoClassificationTrainApp(cfg, steps_per_epoch=1)
+        app.setup()
+        head_before = jax.tree_util.tree_leaves(
+            app.state.params["blocks_5"]["proj"]
+        )
+
+        from pytorchvideo_tpu.models import hub
+
+        backbone = hub.x3d_xs(model_num_class=5, **kwargs)  # SAME width
+        bvars = backbone.init(
+            jax.random.PRNGKey(123), jnp.zeros((1, 4, 32, 32, 3)), False
+        )
+        n = app.load_ssl_backbone(bvars)
+        assert n > 0
+        head_after = jax.tree_util.tree_leaves(
+            app.state.params["blocks_5"]["proj"]
+        )
+        for a, b in zip(head_before, head_after):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        ctx.__exit__(None, None, None)
