@@ -77,7 +77,11 @@ def uniform_temporal_subsample(
 
     Matches reference index math (transforms/functional.py:19-41):
     ``indices = floor(linspace(0, t - 1, num_samples))`` (nearest-neighbor
-    upsampling when num_samples > t).
+    upsampling when num_samples > t). Where ``i*(t-1)/(num_samples-1)``
+    lands exactly on an integer, torch.linspace's truncation is
+    float-implementation-dependent and may pick the preceding frame; we
+    use numpy's linspace consistently (randomized parity sweep permits
+    only these one-frame integer-tie divergences).
     """
     t = x.shape[temporal_axis]
     assert num_samples > 0 and t > 0

@@ -249,3 +249,63 @@ class TestHostDevicePathParity:
         out = t(self.x)
         assert isinstance(out, np.ndarray), type(out)
         assert out.shape == (4, 24, 24, 3)
+
+
+def test_geometry_transforms_randomized_parity_sweep():
+    """100 random (H, W, size, crop) configs: short_side_scale,
+    uniform_crop (3 positions), and uniform_temporal_subsample must match
+    the reference numerically across arbitrary geometries, not just the
+    hand-picked grid."""
+    rng = np.random.default_rng(7)
+    for trial in range(100):
+        t = int(rng.integers(1, 12))
+        h = int(rng.integers(16, 120))
+        w = int(rng.integers(16, 120))
+        x_cthw = _rand_video_cthw(3, t, h, w, seed=trial)
+        xt = torch.from_numpy(x_cthw)
+        xj = _to_thwc(x_cthw)
+
+        size = int(rng.integers(12, 90))
+        ref_scaled = RF.short_side_scale(xt, size)
+        our_scaled = F.short_side_scale(xj, size)
+        assert our_scaled.shape[1:3] == tuple(ref_scaled.shape[2:4]), (
+            trial, h, w, size,
+        )
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(our_scaled), -1, 0),
+            ref_scaled.numpy(),
+            atol=1e-2,  # torch vs jax bilinear accumulate order
+            rtol=1e-4,
+        )
+
+        sh, sw = ref_scaled.shape[2], ref_scaled.shape[3]
+        crop = int(rng.integers(8, min(sh, sw) + 1))
+        for spatial_idx in range(3):
+            ref_crop = RF.uniform_crop(ref_scaled, crop, spatial_idx)
+            our_crop = F.uniform_crop(our_scaled, crop, spatial_idx)
+            np.testing.assert_allclose(
+                np.moveaxis(np.asarray(our_crop), -1, 0),
+                ref_crop.numpy(),
+                atol=1e-2,
+                rtol=1e-4,
+            )
+
+        num = int(rng.integers(1, 2 * t + 1))
+        ref_sub = RF.uniform_temporal_subsample(xt, num)
+        our_sub = np.moveaxis(
+            np.asarray(F.uniform_temporal_subsample(xj, num)), -1, 0
+        )
+        mismatch = np.nonzero(
+            np.any(our_sub != ref_sub.numpy(), axis=(0, 2, 3))
+        )[0]
+        if mismatch.size:
+            # torch.linspace truncation at exact-integer positions is
+            # float-implementation-dependent; a one-frame difference is
+            # permitted ONLY where the exact position is an integer tie
+            exact = (
+                np.arange(num, dtype=np.float64) * (t - 1) / max(num - 1, 1)
+            )
+            for i in mismatch:
+                assert abs(exact[i] - round(exact[i])) < 1e-9, (
+                    trial, t, num, i, exact[i],
+                )
