@@ -35,7 +35,13 @@ def make_mesh(
     if -1 in shapes:
         known = int(np.prod([s for s in shapes if s != -1])) or 1
         shapes[shapes.index(-1)] = len(devices) // known
-    assert int(np.prod(shapes)) == len(devices), (shapes, len(devices))
+    if any(s <= 0 for s in shapes) or int(np.prod(shapes)) != len(devices):
+        raise ValueError(
+            f"mesh axis shapes {dict(zip(axis_names, shapes))} do not tile the "
+            f"{len(devices)} available device(s); run under more devices (e.g. "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu) "
+            f"or shrink the fixed axes"
+        )
     dev_array = np.array(devices).reshape(shapes)
     return Mesh(dev_array, tuple(axis_names))
 
