@@ -1,19 +1,42 @@
-// Native video decode service (FFmpeg/libav) for pytorchvideo_tpu.
+// Native media decode/encode service (FFmpeg/libav) for pytorchvideo_tpu.
 //
 // The reference delegates decoding to PyAV/torchvision/decord (SURVEY §2.9);
 // this is the first-party TPU-host equivalent: frame-accurate seek + decode
 // into caller-provided RGB24 buffers through a minimal C ABI (consumed via
 // ctypes in pytorchvideo_tpu/data/encoded_video_native.py).
 //
+// Capabilities:
+//   - pvt_open / pvt_open_buffer: container from a filesystem path or an
+//     in-memory byte buffer (the reference reads whole files into BytesIO via
+//     iopath g_pathmgr, reference data/encoded_video.py:65-66 — the buffer
+//     entry point is what makes remote/in-memory IO work).
+//   - pvt_decode_range[_scaled]: video frames [start, end) as RGB24, with
+//     optional swscale resize fused into the decode loop.
+//   - pvt_decode_audio: mono float32 samples for a [start_sec, end_sec)
+//     window. Matches the reference PyAV backend's semantics
+//     (reference data/encoded_video_pyav.py:285-318): frames whose pts lies
+//     inside the window are included whole, each mono-mixed by the mean over
+//     channels (reference :307), at the stream's native sample rate.
+//   - pvt_mux_av: write an RGB24 frame array + optional mono float audio into
+//     a container (FFV1 + pcm_s16le by default) — the writer side used by
+//     data.utils.export_video_array and the synthetic A/V test fixtures
+//     (reference tests/utils.py:60-78 uses PyAV for this).
+//
 // Build: make -C native  (produces libpvt_decode.so)
 
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
+#include <libavutil/channel_layout.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
 #include <libswscale/swscale.h>
 }
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <new>
@@ -25,7 +48,6 @@ struct Decoder {
   AVCodecContext* codec = nullptr;
   SwsContext* sws = nullptr;
   AVFrame* frame = nullptr;
-  AVFrame* rgb = nullptr;
   AVPacket* pkt = nullptr;
   int stream_index = -1;
   int width = 0;
@@ -36,6 +58,17 @@ struct Decoder {
   int64_t next_frame = 0;  // next frame index the demuxer will produce
   int sws_h = 0;           // current swscale target (rebuilt on change)
   int sws_w = 0;
+  // In-memory input (pvt_open_buffer).
+  uint8_t* mem = nullptr;
+  int64_t mem_size = 0;
+  int64_t mem_pos = 0;
+  AVIOContext* avio = nullptr;
+  // Audio stream (codec opened lazily on first pvt_decode_audio).
+  int audio_index = -1;
+  AVCodecContext* audio_codec = nullptr;
+  AVFrame* audio_frame = nullptr;
+  int audio_rate = 0;
+  int audio_channels = 0;
   char error[256] = {0};
 };
 
@@ -49,30 +82,68 @@ int64_t pts_to_frame(const Decoder* d, int64_t pts) {
   return static_cast<int64_t>(sec * d->fps + 0.5);
 }
 
-}  // namespace
+// ---- in-memory AVIO ----
 
-extern "C" {
+int mem_read(void* opaque, uint8_t* buf, int n) {
+  Decoder* d = static_cast<Decoder*>(opaque);
+  const int64_t rem = d->mem_size - d->mem_pos;
+  if (rem <= 0) return AVERROR_EOF;
+  n = static_cast<int>(std::min<int64_t>(n, rem));
+  std::memcpy(buf, d->mem + d->mem_pos, n);
+  d->mem_pos += n;
+  return n;
+}
 
-// Opens a container; returns an opaque handle or nullptr.
-void* pvt_open(const char* path) {
-  Decoder* d = new (std::nothrow) Decoder();
-  if (!d) return nullptr;
-
-  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
-    delete d;
-    return nullptr;
+int64_t mem_seek(void* opaque, int64_t offset, int whence) {
+  Decoder* d = static_cast<Decoder*>(opaque);
+  switch (whence & ~AVSEEK_FORCE) {
+    case AVSEEK_SIZE:
+      return d->mem_size;
+    case SEEK_SET:
+      d->mem_pos = offset;
+      break;
+    case SEEK_CUR:
+      d->mem_pos += offset;
+      break;
+    case SEEK_END:
+      d->mem_pos = d->mem_size + offset;
+      break;
+    default:
+      return -1;
   }
+  if (d->mem_pos < 0) d->mem_pos = 0;
+  if (d->mem_pos > d->mem_size) d->mem_pos = d->mem_size;
+  return d->mem_pos;
+}
+
+void free_decoder(Decoder* d) {
+  if (!d) return;
+  if (d->sws) sws_freeContext(d->sws);
+  if (d->pkt) av_packet_free(&d->pkt);
+  if (d->frame) av_frame_free(&d->frame);
+  if (d->audio_frame) av_frame_free(&d->audio_frame);
+  if (d->codec) avcodec_free_context(&d->codec);
+  if (d->audio_codec) avcodec_free_context(&d->audio_codec);
+  if (d->fmt) avformat_close_input(&d->fmt);
+  if (d->avio) {
+    av_freep(&d->avio->buffer);
+    avio_context_free(&d->avio);
+  }
+  std::free(d->mem);
+  delete d;
+}
+
+// Stream setup shared by path- and buffer-opens; d->fmt is already opened.
+Decoder* open_common(Decoder* d) {
   if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
-    avformat_close_input(&d->fmt);
-    delete d;
+    free_decoder(d);
     return nullptr;
   }
   const AVCodec* decoder = nullptr;
   d->stream_index =
       av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &decoder, 0);
   if (d->stream_index < 0 || !decoder) {
-    avformat_close_input(&d->fmt);
-    delete d;
+    free_decoder(d);
     return nullptr;
   }
   AVStream* st = d->fmt->streams[d->stream_index];
@@ -80,9 +151,7 @@ void* pvt_open(const char* path) {
   avcodec_parameters_to_context(d->codec, st->codecpar);
   d->codec->thread_count = 0;  // auto
   if (avcodec_open2(d->codec, decoder, nullptr) < 0) {
-    avcodec_free_context(&d->codec);
-    avformat_close_input(&d->fmt);
-    delete d;
+    free_decoder(d);
     return nullptr;
   }
   d->width = d->codec->width;
@@ -99,10 +168,111 @@ void* pvt_open(const char* path) {
         (d->fmt->duration / (double)AV_TIME_BASE) * d->fps + 0.5);
   }
   d->duration = d->num_frames / d->fps;
+
+  // Probe (but don't yet open) the best audio stream.
+  d->audio_index =
+      av_find_best_stream(d->fmt, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
+  if (d->audio_index >= 0) {
+    const AVCodecParameters* par = d->fmt->streams[d->audio_index]->codecpar;
+    d->audio_rate = par->sample_rate;
+    d->audio_channels = par->ch_layout.nb_channels;
+  }
+
   d->frame = av_frame_alloc();
-  d->rgb = av_frame_alloc();
   d->pkt = av_packet_alloc();
   return d;
+}
+
+bool ensure_audio_codec(Decoder* d) {
+  if (d->audio_codec) return true;
+  if (d->audio_index < 0) return false;
+  AVStream* st = d->fmt->streams[d->audio_index];
+  const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+  if (!dec) return false;
+  d->audio_codec = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(d->audio_codec, st->codecpar);
+  if (avcodec_open2(d->audio_codec, dec, nullptr) < 0) {
+    avcodec_free_context(&d->audio_codec);
+    return false;
+  }
+  d->audio_frame = av_frame_alloc();
+  return true;
+}
+
+// One sample of channel `ch` at index `i`, as float, for common sample
+// formats (packed and planar).
+float sample_at(const AVFrame* f, int ch, int i) {
+  const int fmt = f->format;
+  const bool planar = av_sample_fmt_is_planar(static_cast<AVSampleFormat>(fmt));
+  const int nch = f->ch_layout.nb_channels;
+  const uint8_t* base = planar ? f->extended_data[ch] : f->extended_data[0];
+  const int idx = planar ? i : i * nch + ch;
+  switch (av_get_packed_sample_fmt(static_cast<AVSampleFormat>(fmt))) {
+    case AV_SAMPLE_FMT_U8:
+      return (reinterpret_cast<const uint8_t*>(base)[idx] - 128) / 128.0f;
+    case AV_SAMPLE_FMT_S16:
+      return reinterpret_cast<const int16_t*>(base)[idx] / 32768.0f;
+    case AV_SAMPLE_FMT_S32:
+      return reinterpret_cast<const int32_t*>(base)[idx] / 2147483648.0f;
+    case AV_SAMPLE_FMT_FLT:
+      return reinterpret_cast<const float*>(base)[idx];
+    case AV_SAMPLE_FMT_DBL:
+      return static_cast<float>(reinterpret_cast<const double*>(base)[idx]);
+    default:
+      return 0.0f;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Opens a container from a filesystem path; returns an opaque handle or null.
+void* pvt_open(const char* path) {
+  Decoder* d = new (std::nothrow) Decoder();
+  if (!d) return nullptr;
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+    delete d;
+    return nullptr;
+  }
+  return open_common(d);
+}
+
+// Opens a container from an in-memory byte buffer (copied; the caller's
+// buffer need not outlive the handle). Remote-IO entry point: fetch bytes
+// however you like, decode here.
+void* pvt_open_buffer(const uint8_t* data, int64_t size) {
+  if (!data || size <= 0) return nullptr;
+  Decoder* d = new (std::nothrow) Decoder();
+  if (!d) return nullptr;
+  d->mem = static_cast<uint8_t*>(std::malloc(size));
+  if (!d->mem) {
+    delete d;
+    return nullptr;
+  }
+  std::memcpy(d->mem, data, size);
+  d->mem_size = size;
+  const int avio_buf_size = 1 << 16;
+  uint8_t* avio_buf = static_cast<uint8_t*>(av_malloc(avio_buf_size));
+  d->avio = avio_alloc_context(avio_buf, avio_buf_size, 0, d, mem_read,
+                               nullptr, mem_seek);
+  if (!d->avio) {
+    av_free(avio_buf);
+    std::free(d->mem);
+    delete d;
+    return nullptr;
+  }
+  d->fmt = avformat_alloc_context();
+  d->fmt->pb = d->avio;
+  if (avformat_open_input(&d->fmt, nullptr, nullptr, nullptr) < 0) {
+    // avformat_open_input frees d->fmt on failure; avio is still ours.
+    av_freep(&d->avio->buffer);
+    avio_context_free(&d->avio);
+    std::free(d->mem);
+    delete d;
+    return nullptr;
+  }
+  return open_common(d);
 }
 
 int pvt_width(void* h) { return static_cast<Decoder*>(h)->width; }
@@ -111,6 +281,13 @@ double pvt_fps(void* h) { return static_cast<Decoder*>(h)->fps; }
 int64_t pvt_num_frames(void* h) { return static_cast<Decoder*>(h)->num_frames; }
 double pvt_duration(void* h) { return static_cast<Decoder*>(h)->duration; }
 const char* pvt_error(void* h) { return static_cast<Decoder*>(h)->error; }
+int pvt_has_audio(void* h) {
+  return static_cast<Decoder*>(h)->audio_index >= 0 ? 1 : 0;
+}
+int pvt_audio_rate(void* h) { return static_cast<Decoder*>(h)->audio_rate; }
+int pvt_audio_channels(void* h) {
+  return static_cast<Decoder*>(h)->audio_channels;
+}
 
 // Decode frames [start, end) into out (end-start, out_h, out_w, 3) uint8
 // RGB, rescaling with bilinear swscale when (out_h, out_w) differs from the
@@ -202,16 +379,246 @@ int64_t pvt_decode_range(void* handle, int64_t start, int64_t end,
   return pvt_decode_range_scaled(handle, start, end, out, 0, 0);
 }
 
-void pvt_close(void* handle) {
+// Decode mono float32 audio for the window [start_sec, end_sec): frames whose
+// pts lies inside the window are included whole, each sample mono-mixed by
+// the mean over channels (reference encoded_video_pyav.py:285-318, mix :307).
+// Writes up to max_samples into out; returns samples written, -1 on failure,
+// 0 when the container has no audio stream or the window is empty.
+int64_t pvt_decode_audio(void* handle, double start_sec, double end_sec,
+                         float* out, int64_t max_samples) {
   Decoder* d = static_cast<Decoder*>(handle);
-  if (!d) return;
-  if (d->sws) sws_freeContext(d->sws);
-  if (d->pkt) av_packet_free(&d->pkt);
-  if (d->frame) av_frame_free(&d->frame);
-  if (d->rgb) av_frame_free(&d->rgb);
-  if (d->codec) avcodec_free_context(&d->codec);
-  if (d->fmt) avformat_close_input(&d->fmt);
-  delete d;
+  if (!d || !out || max_samples <= 0 || end_sec <= start_sec) return -1;
+  if (d->audio_index < 0) return 0;
+  if (!ensure_audio_codec(d)) {
+    set_error(d, "audio codec open failed");
+    return -1;
+  }
+  AVStream* ast = d->fmt->streams[d->audio_index];
+  const double tb = av_q2d(ast->time_base);
+  const int64_t seek_pts =
+      static_cast<int64_t>(std::max(start_sec, 0.0) / tb);
+  if (av_seek_frame(d->fmt, d->audio_index, seek_pts, AVSEEK_FLAG_BACKWARD) <
+      0) {
+    // Some containers can't seek on the audio stream; fall back to the start.
+    av_seek_frame(d->fmt, d->audio_index, 0,
+                  AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_BYTE);
+  }
+  avcodec_flush_buffers(d->audio_codec);
+  // The shared demuxer has moved: force the next video decode to re-seek.
+  d->next_frame = INT64_MIN / 2;
+
+  const double eps = 1e-6;
+  int64_t written = 0;
+  bool draining = false;
+  double fallback_sec = 0.0;  // running clock when frames carry no pts
+  while (written < max_samples) {
+    int ret = avcodec_receive_frame(d->audio_codec, d->audio_frame);
+    if (ret == AVERROR(EAGAIN)) {
+      if (draining) break;
+      ret = av_read_frame(d->fmt, d->pkt);
+      if (ret < 0) {
+        avcodec_send_packet(d->audio_codec, nullptr);
+        draining = true;
+        continue;
+      }
+      if (d->pkt->stream_index == d->audio_index) {
+        avcodec_send_packet(d->audio_codec, d->pkt);
+      }
+      av_packet_unref(d->pkt);
+      continue;
+    }
+    if (ret == AVERROR_EOF || ret < 0) break;
+
+    AVFrame* f = d->audio_frame;
+    const int64_t pts = f->best_effort_timestamp;
+    const int rate = f->sample_rate > 0 ? f->sample_rate : d->audio_rate;
+    double sec = (pts != AV_NOPTS_VALUE) ? pts * tb : fallback_sec;
+    fallback_sec = sec + (rate > 0 ? (double)f->nb_samples / rate : 0.0);
+    if (sec > end_sec + eps) {
+      av_frame_unref(f);
+      break;
+    }
+    if (sec < start_sec - eps) {
+      av_frame_unref(f);
+      continue;
+    }
+    const int nch = f->ch_layout.nb_channels;
+    const int64_t n =
+        std::min<int64_t>(f->nb_samples, max_samples - written);
+    for (int64_t i = 0; i < n; ++i) {
+      float acc = 0.0f;
+      for (int c = 0; c < nch; ++c) acc += sample_at(f, c, i);
+      out[written + i] = acc / (nch > 0 ? nch : 1);
+    }
+    written += n;
+    av_frame_unref(f);
+  }
+  return written;
+}
+
+void pvt_close(void* handle) { free_decoder(static_cast<Decoder*>(handle)); }
+
+// ---- A/V writer ----
+//
+// Mux an RGB24 frame array (n_frames, h, w, 3) at `fps`, plus optional mono
+// float32 audio at `sample_rate`, into `path`. Container from the extension;
+// video codec FFV1 (lossless; falls back to mpeg4), audio pcm_s16le.
+// Returns 0 on success, -1 on failure.
+int pvt_mux_av(const char* path, const uint8_t* frames, int64_t n_frames,
+               int h, int w, double fps, const float* audio,
+               int64_t n_samples, int sample_rate) {
+  if (!path || !frames || n_frames <= 0 || h <= 0 || w <= 0 || fps <= 0)
+    return -1;
+  AVFormatContext* ofmt = nullptr;
+  if (avformat_alloc_output_context2(&ofmt, nullptr, nullptr, path) < 0 ||
+      !ofmt)
+    return -1;
+
+  int rc = -1;
+  AVCodecContext* vctx = nullptr;
+  AVCodecContext* actx = nullptr;
+  AVStream *vst = nullptr, *ast = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* vframe = nullptr;
+  AVFrame* aframe = nullptr;
+  AVPacket* pkt = av_packet_alloc();
+  bool header_written = false;
+
+  // Everything below goes through `done` for cleanup.
+  do {
+    const AVRational fr = av_d2q(fps, 1 << 16);
+    const AVCodec* venc = avcodec_find_encoder_by_name("ffv1");
+    if (!venc) venc = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+    if (!venc) break;
+    vst = avformat_new_stream(ofmt, nullptr);
+    if (!vst) break;
+    vctx = avcodec_alloc_context3(venc);
+    vctx->width = w;
+    vctx->height = h;
+    vctx->time_base = av_inv_q(fr);
+    vctx->framerate = fr;
+    // Prefer an RGB-exact pixel format; fall back to the encoder's first.
+    vctx->pix_fmt = venc->pix_fmts ? venc->pix_fmts[0] : AV_PIX_FMT_YUV420P;
+    for (const AVPixelFormat* p = venc->pix_fmts;
+         p && *p != AV_PIX_FMT_NONE; ++p) {
+      if (*p == AV_PIX_FMT_BGR0 || *p == AV_PIX_FMT_RGB32 ||
+          *p == AV_PIX_FMT_GBRP) {
+        vctx->pix_fmt = *p;
+        break;
+      }
+    }
+    if (ofmt->oformat->flags & AVFMT_GLOBALHEADER)
+      vctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(vctx, venc, nullptr) < 0) break;
+    if (avcodec_parameters_from_context(vst->codecpar, vctx) < 0) break;
+    vst->time_base = vctx->time_base;
+
+    if (audio && n_samples > 0 && sample_rate > 0) {
+      const AVCodec* aenc = avcodec_find_encoder(AV_CODEC_ID_PCM_S16LE);
+      if (!aenc) break;
+      ast = avformat_new_stream(ofmt, nullptr);
+      if (!ast) break;
+      actx = avcodec_alloc_context3(aenc);
+      actx->sample_rate = sample_rate;
+      actx->sample_fmt = AV_SAMPLE_FMT_S16;
+      av_channel_layout_default(&actx->ch_layout, 1);  // mono
+      actx->time_base = AVRational{1, sample_rate};
+      if (ofmt->oformat->flags & AVFMT_GLOBALHEADER)
+        actx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+      if (avcodec_open2(actx, aenc, nullptr) < 0) break;
+      if (avcodec_parameters_from_context(ast->codecpar, actx) < 0) break;
+      ast->time_base = actx->time_base;
+    }
+
+    if (!(ofmt->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&ofmt->pb, path, AVIO_FLAG_WRITE) < 0)
+      break;
+    if (avformat_write_header(ofmt, nullptr) < 0) break;
+    header_written = true;
+
+    sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, vctx->pix_fmt,
+                         SWS_POINT, nullptr, nullptr, nullptr);
+    if (!sws) break;
+    vframe = av_frame_alloc();
+    vframe->format = vctx->pix_fmt;
+    vframe->width = w;
+    vframe->height = h;
+    if (av_frame_get_buffer(vframe, 0) < 0) break;
+
+    bool fail = false;
+    for (int64_t i = 0; i < n_frames && !fail; ++i) {
+      const uint8_t* src[1] = {frames + i * (int64_t)h * w * 3};
+      int src_stride[1] = {w * 3};
+      av_frame_make_writable(vframe);
+      sws_scale(sws, src, src_stride, 0, h, vframe->data, vframe->linesize);
+      vframe->pts = i;
+      if (avcodec_send_frame(vctx, vframe) < 0) fail = true;
+      while (!fail && avcodec_receive_packet(vctx, pkt) == 0) {
+        av_packet_rescale_ts(pkt, vctx->time_base, vst->time_base);
+        pkt->stream_index = vst->index;
+        if (av_interleaved_write_frame(ofmt, pkt) < 0) fail = true;
+      }
+    }
+    // Flush video encoder.
+    avcodec_send_frame(vctx, nullptr);
+    while (!fail && avcodec_receive_packet(vctx, pkt) == 0) {
+      av_packet_rescale_ts(pkt, vctx->time_base, vst->time_base);
+      pkt->stream_index = vst->index;
+      if (av_interleaved_write_frame(ofmt, pkt) < 0) fail = true;
+    }
+    if (fail) break;
+
+    if (actx) {
+      const int chunk = 1024;
+      aframe = av_frame_alloc();
+      aframe->format = AV_SAMPLE_FMT_S16;
+      av_channel_layout_default(&aframe->ch_layout, 1);
+      aframe->sample_rate = sample_rate;
+      aframe->nb_samples = chunk;
+      if (av_frame_get_buffer(aframe, 0) < 0) break;
+      for (int64_t off = 0; off < n_samples && !fail; off += chunk) {
+        const int n = static_cast<int>(std::min<int64_t>(chunk, n_samples - off));
+        av_frame_make_writable(aframe);
+        aframe->nb_samples = n;
+        int16_t* dst = reinterpret_cast<int16_t*>(aframe->data[0]);
+        for (int i = 0; i < n; ++i) {
+          float v = std::max(-1.0f, std::min(1.0f, audio[off + i]));
+          dst[i] = static_cast<int16_t>(std::lrintf(v * 32767.0f));
+        }
+        aframe->pts = off;
+        if (avcodec_send_frame(actx, aframe) < 0) fail = true;
+        while (!fail && avcodec_receive_packet(actx, pkt) == 0) {
+          av_packet_rescale_ts(pkt, actx->time_base, ast->time_base);
+          pkt->stream_index = ast->index;
+          if (av_interleaved_write_frame(ofmt, pkt) < 0) fail = true;
+        }
+      }
+      avcodec_send_frame(actx, nullptr);
+      while (!fail && avcodec_receive_packet(actx, pkt) == 0) {
+        av_packet_rescale_ts(pkt, actx->time_base, ast->time_base);
+        pkt->stream_index = ast->index;
+        if (av_interleaved_write_frame(ofmt, pkt) < 0) fail = true;
+      }
+      if (fail) break;
+    }
+    rc = 0;
+  } while (false);
+
+  if (header_written) {
+    if (av_write_trailer(ofmt) < 0) rc = -1;
+  }
+  if (sws) sws_freeContext(sws);
+  if (vframe) av_frame_free(&vframe);
+  if (aframe) av_frame_free(&aframe);
+  if (pkt) av_packet_free(&pkt);
+  if (vctx) avcodec_free_context(&vctx);
+  if (actx) avcodec_free_context(&actx);
+  if (ofmt) {
+    if (!(ofmt->oformat->flags & AVFMT_NOFILE) && ofmt->pb)
+      avio_closep(&ofmt->pb);
+    avformat_free_context(ofmt);
+  }
+  return rc;
 }
 
 }  // extern "C"

@@ -60,7 +60,10 @@ def select_video_class(decoder: str):
 
 
 class EncodedVideo(Video):
-    """Factory entry (reference encoded_video.py:48-76)."""
+    """Factory entry (reference encoded_video.py:48-76). Local paths go
+    straight to the backend; remote URIs are fetched to bytes through the
+    pluggable opener registry (data/io.py — the reference's g_pathmgr role,
+    reference encoded_video.py:65-66) and decoded from memory."""
 
     @classmethod
     def from_path(
@@ -71,13 +74,74 @@ class EncodedVideo(Video):
         decoder: str = "opencv",
         **other_args,
     ) -> "Video":
+        from pytorchvideo_tpu.data import io as pvt_io
+
+        if not pvt_io.is_local_path(file_path):
+            return cls.from_bytes(
+                pvt_io.read_bytes(file_path),
+                decode_video=decode_video,
+                decode_audio=decode_audio,
+                decoder=decoder,
+                video_name=os.path.basename(str(file_path)),
+                **other_args,
+            )
         video_cls = select_video_class(decoder)
         return video_cls(
-            file_path,
+            pvt_io.local_path(file_path),
             decode_video=decode_video,
             decode_audio=decode_audio,
             **other_args,
         )
+
+    @classmethod
+    def from_bytes(
+        cls,
+        data: bytes,
+        decode_video: bool = True,
+        decode_audio: bool = False,
+        decoder: str = "opencv",
+        **other_args,
+    ) -> "Video":
+        """Decode an in-memory container. The native backend decodes directly
+        from the buffer (pvt_open_buffer); the OpenCV backend uses a
+        temp-file shim (cv2.VideoCapture has no memory input)."""
+        video_cls = select_video_class(decoder)
+        # Only backends that *override* from_bytes decode from memory
+        # directly (checking hasattr would find this inherited factory).
+        if video_cls.from_bytes.__func__ is not EncodedVideo.from_bytes.__func__:
+            return video_cls.from_bytes(
+                data,
+                decode_video=decode_video,
+                decode_audio=decode_audio,
+                **other_args,
+            )
+        tmp = _TempFileFromBytes(data)
+        video = video_cls(
+            tmp.path,
+            decode_video=decode_video,
+            decode_audio=decode_audio,
+            **other_args,
+        )
+        video._tempfile_ref = tmp  # keep the backing file alive
+        return video
+
+
+class _TempFileFromBytes:
+    """Spill bytes to a temp file whose lifetime tracks this object; the
+    OpenCV from_bytes shim keeps a reference on the Video instance."""
+
+    def __init__(self, data: bytes):
+        import tempfile
+
+        fd, self.path = tempfile.mkstemp(suffix=".video")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+
+    def __del__(self):
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
 
 
 class EncodedVideoOpenCV(EncodedVideo):

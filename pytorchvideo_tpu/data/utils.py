@@ -61,13 +61,22 @@ def export_video_array(
     rate: float,
     layout: str = "THWC",
     fourcc: str = "FFV1",
+    audio: Optional[np.ndarray] = None,
+    audio_rate: int = 0,
 ) -> None:
-    """Write a uint8 video array to disk via OpenCV (the reference uses PyAV;
+    """Write a uint8 video array to disk (the reference uses PyAV;
     FFV1-in-AVI gives the same lossless-fixture property as its libx264rgb
-    crf=0 path, reference tests/utils.py:43-57)."""
+    crf=0 path, reference tests/utils.py:43-57). With ``audio`` (mono float32
+    in [-1, 1] at ``audio_rate``), the native muxer writes an A/V container
+    (FFV1 + pcm_s16le — reference tests/utils.py:60-78 role)."""
     assert layout in ("THWC", "CTHW")
     if layout == "CTHW":
         video = cthw_to_thwc(video)
+    if audio is not None:
+        from pytorchvideo_tpu.data.encoded_video_native import mux_av
+
+        mux_av(output_path, video.astype(np.uint8), rate, audio, audio_rate)
+        return
     import cv2
 
     t, h, w, c = video.shape

@@ -39,6 +39,27 @@ def temp_encoded_video(num_frames: int, fps: int, height=32, width=32):
 
 
 @contextlib.contextmanager
+def temp_encoded_video_with_audio(
+    num_frames: int, fps: int, height=32, width=32, audio_rate=16000,
+    audio_hz=440.0,
+):
+    """A/V container via the native muxer (reference
+    tests/utils.py:60-78 writes these with PyAV): lossless FFV1 video +
+    pcm_s16le mono sine-wave audio, so both modalities round-trip
+    near-exactly. Yields (path, frames_f32, audio_f32, audio_rate)."""
+    from pytorchvideo_tpu.data.encoded_video_native import mux_av
+
+    data = create_dummy_video_frames(num_frames, height, width)
+    dur = num_frames / fps
+    t = np.arange(int(round(dur * audio_rate))) / audio_rate
+    audio = (0.5 * np.sin(2 * np.pi * audio_hz * t)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "video_av.avi")
+        mux_av(path, data, fps, audio, audio_rate)
+        yield path, data.astype(np.float32), audio, audio_rate
+
+
+@contextlib.contextmanager
 def temp_frame_video(frame_names, height=10, width=10):
     """PNG frame directory (reference tests/utils.py:81-92)."""
     import cv2
