@@ -84,5 +84,73 @@ def main():
             )
 
 
+def loader_scaling():
+    """BatchLoader worker scaling on the Python path (plan/load split):
+    clips/sec through labeled_video_dataset for 1..8 decode workers.
+    Round-1 finding: the old loader serialized decode under one lock
+    (~1x scaling); the plan/load split should scale near-linearly until
+    decode saturates the cores."""
+    import cv2
+
+    from pytorchvideo_tpu.data import (
+        SequentialSampler,
+        labeled_video_dataset,
+        make_clip_sampler,
+    )
+    from pytorchvideo_tpu.data.loader import BatchLoader
+
+    rng = np.random.default_rng(0)
+    n_frames, h, w, fps = 60, 240, 320, 30
+    base = rng.integers(0, 255, (1, h, w, 3), dtype=np.uint8)
+    arr = np.clip(
+        base.astype(np.int16)
+        + rng.integers(-20, 20, (n_frames, h, w, 3), dtype=np.int16),
+        0,
+        255,
+    ).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i in range(8):
+            p = os.path.join(td, f"v{i}.mp4")
+            wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+            for f in arr:
+                wr.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+            wr.release()
+            paths.append(p)
+        csv = os.path.join(td, "data.csv")
+        with open(csv, "w") as f:
+            for i, p in enumerate(paths):
+                f.write(f"{p} {i}\n")
+
+        results = {}
+        for workers in (1, 2, 4, 8):
+            ds = labeled_video_dataset(
+                csv,
+                make_clip_sampler("uniform", 0.5),
+                video_sampler=SequentialSampler,
+            )
+            loader = BatchLoader(
+                ds, batch_size=4, num_workers=workers, drop_last=False
+            )
+            t0 = time.perf_counter()
+            n_clips = sum(b["video"].shape[0] for b in loader)
+            dt = time.perf_counter() - t0
+            results[workers] = n_clips / dt
+            print(
+                json.dumps(
+                    {
+                        "loader_workers": workers,
+                        "clips": n_clips,
+                        "clips_per_sec": round(n_clips / dt, 1),
+                        "scaling_vs_1_worker": round(
+                            results[workers] / results[1], 2
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+
+
 if __name__ == "__main__":
     main()
+    loader_scaling()

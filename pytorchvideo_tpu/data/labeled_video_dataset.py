@@ -20,6 +20,8 @@ import gc
 import logging
 from typing import Any, Callable, Dict, List, Optional, Tuple, Type
 
+from typing import NamedTuple
+
 from pytorchvideo_tpu.data.clip_sampling import ClipSampler
 from pytorchvideo_tpu.data.labeled_video_paths import LabeledVideoPaths
 from pytorchvideo_tpu.data.samplers import RandomSampler
@@ -27,6 +29,18 @@ from pytorchvideo_tpu.data.utils import MultiProcessSampler, _torch_worker_info
 from pytorchvideo_tpu.data.video import VideoPathHandler
 
 logger = logging.getLogger(__name__)
+
+
+class _ClipPlan(NamedTuple):
+    """Self-contained decode work item emitted by plan_clips()."""
+
+    video_path: str
+    info_dict: dict
+    video_index: int
+    clip_start: Any  # Fraction or List[Fraction] (multi-clip)
+    clip_end: Any
+    clip_index: Any
+    aug_indices: List[int]
 
 
 class LabeledVideoDataset:
@@ -166,6 +180,146 @@ class LabeledVideoDataset:
         raise RuntimeError(
             f"Failed to load video after {self._MAX_CONSECUTIVE_FAILURES} retries."
         )
+
+    # ---- parallel decode protocol (consumed by data.loader.BatchLoader) ----
+    #
+    # The sequential __next__ above interleaves cheap clip planning with
+    # expensive decode+transform, so thread workers pulling from one shared
+    # iterator serialize on the decode (the round-1 loader bug). The split
+    # below mirrors how the reference gets real parallelism from DataLoader
+    # worker *processes* (reference labeled_video_dataset.py:72-80): a
+    # sequential planner owns all sampler state and emits self-contained
+    # work items; any number of workers decode them concurrently, each with
+    # its own container handle.
+
+    def plan_clips(self):
+        """Yield ClipPlan work items: (video_path, info, video_index,
+        clip spans, aug indices). Sequential; only probes container
+        metadata (duration), never decodes frames."""
+        sampler_iter = iter(MultiProcessSampler(self._video_sampler))
+        failures = 0
+        while True:
+            try:
+                video_index = next(sampler_iter)
+            except StopIteration:
+                return
+            video_path, info_dict = self._labeled_videos[video_index]
+            try:
+                video = self.video_path_handler.video_from_path(
+                    video_path,
+                    decode_audio=self._decode_audio,
+                    decode_video=self._decode_video,
+                    decoder=self._decoder,
+                )
+                duration = video.duration
+                video.close()
+            except Exception as e:
+                logger.debug("Failed to probe video %s: %s", video_path, e)
+                failures += 1
+                if failures >= self._MAX_CONSECUTIVE_FAILURES:
+                    raise RuntimeError(
+                        f"Failed to load video after "
+                        f"{self._MAX_CONSECUTIVE_FAILURES} retries."
+                    )
+                continue
+            failures = 0
+
+            # Enumerate this video's clips; group consecutive same-span
+            # entries so aug>0 views reuse one decode (reference :165-186).
+            infos = []
+            last_end = None
+            while True:
+                info = self._clip_sampler(last_end, duration, info_dict)
+                infos.append(info)
+                last_end = info[1]
+                is_last = info[4]
+                if isinstance(is_last, list):
+                    is_last = is_last[-1]
+                if is_last:
+                    break
+            self._clip_sampler.reset()
+
+            group = None
+            for info in infos:
+                clip_start, clip_end, clip_index, aug_index, _ = info
+                key = (str(clip_start), str(clip_end), str(clip_index))
+                if group is not None and group["key"] == key:
+                    group["aug_indices"].append(aug_index)
+                    continue
+                if group is not None:
+                    yield _ClipPlan(
+                        video_path,
+                        info_dict,
+                        video_index,
+                        group["start"],
+                        group["end"],
+                        group["clip_index"],
+                        group["aug_indices"],
+                    )
+                group = {
+                    "key": key,
+                    "start": clip_start,
+                    "end": clip_end,
+                    "clip_index": clip_index,
+                    "aug_indices": [aug_index],
+                }
+            if group is not None:
+                yield _ClipPlan(
+                    video_path,
+                    info_dict,
+                    video_index,
+                    group["start"],
+                    group["end"],
+                    group["clip_index"],
+                    group["aug_indices"],
+                )
+
+    def load_clip(self, plan: "_ClipPlan") -> List[dict]:
+        """Decode + transform one ClipPlan (thread-safe: private container
+        handle per call). Returns 0..len(aug_indices) sample dicts."""
+        video = self.video_path_handler.video_from_path(
+            plan.video_path,
+            decode_audio=self._decode_audio,
+            decode_video=self._decode_video,
+            decoder=self._decoder,
+        )
+        try:
+            if isinstance(plan.clip_start, list):
+                loaded = []
+                for s, e in zip(plan.clip_start, plan.clip_end):
+                    clip = video.get_clip(s, e)
+                    if clip is None or clip["video"] is None:
+                        return []
+                    loaded.append(clip)
+                base_clip = {
+                    key: [c[key] for c in loaded] for key in loaded[0].keys()
+                }
+            else:
+                base_clip = video.get_clip(plan.clip_start, plan.clip_end)
+                if base_clip is None or base_clip["video"] is None:
+                    logger.debug("Failed to decode clip %s", plan.video_path)
+                    return []
+            samples = []
+            for aug_index in plan.aug_indices:
+                sample_dict = {
+                    "video": base_clip["video"],
+                    "video_name": video.name,
+                    "video_index": plan.video_index,
+                    "clip_index": plan.clip_index,
+                    "aug_index": aug_index,
+                    **plan.info_dict,
+                }
+                audio = base_clip.get("audio")
+                if audio is not None:
+                    sample_dict["audio"] = audio
+                if self._transform is not None:
+                    sample_dict = self._transform(sample_dict)
+                    if sample_dict is None:
+                        continue
+                samples.append(sample_dict)
+            return samples
+        finally:
+            video.close()
 
     def __iter__(self):
         self._video_sampler_iter = None

@@ -54,24 +54,58 @@ class BatchLoader:
         sample_q: "queue.Queue" = queue.Queue(
             maxsize=self.batch_size * (self.prefetch_batches + 1)
         )
-        it = iter(self.dataset)
         lock = threading.Lock()
         active = [self.num_workers]
 
-        def worker():
-            while True:
-                with lock:
+        # Parallel path: datasets exposing the plan/load split (e.g.
+        # LabeledVideoDataset.plan_clips/load_clip) decode concurrently —
+        # the lock covers only the cheap sequential planner; the expensive
+        # decode+transform runs outside it with a private handle per call.
+        # Fallback: a plain iterator must be advanced under the lock, which
+        # serializes whatever work __next__ does.
+        parallel = (
+            hasattr(self.dataset, "plan_clips")
+            and hasattr(self.dataset, "load_clip")
+            and self.num_workers > 1
+        )
+        if parallel:
+            plan_it = self.dataset.plan_clips()
+
+            def worker():
+                while True:
+                    with lock:
+                        try:
+                            plan = next(plan_it)
+                        except (StopIteration, RuntimeError):
+                            break
                     try:
-                        sample = next(it)
-                    except StopIteration:
-                        break
-                    except RuntimeError:
-                        break
-                sample_q.put(sample)
-            with lock:
-                active[0] -= 1
-                if active[0] == 0:
-                    sample_q.put(_END)
+                        samples = self.dataset.load_clip(plan)
+                    except Exception:  # decode failure: drop, keep going
+                        continue
+                    for sample in samples:
+                        sample_q.put(sample)
+                with lock:
+                    active[0] -= 1
+                    if active[0] == 0:
+                        sample_q.put(_END)
+
+        else:
+            it = iter(self.dataset)
+
+            def worker():
+                while True:
+                    with lock:
+                        try:
+                            sample = next(it)
+                        except StopIteration:
+                            break
+                        except RuntimeError:
+                            break
+                    sample_q.put(sample)
+                with lock:
+                    active[0] -= 1
+                    if active[0] == 0:
+                        sample_q.put(_END)
 
         threads = [
             threading.Thread(target=worker, daemon=True)

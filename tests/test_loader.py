@@ -40,6 +40,96 @@ def test_batch_loader_over_dataset():
             os.unlink(csv)
 
 
+def test_batch_loader_parallel_decode_coverage():
+    """Parallel plan/load path yields exactly the sequential sample set
+    (same clips, same decoded frames), order-independent."""
+    with temp_encoded_video(num_frames=20, fps=5) as (path, data):
+        with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+            for i in range(3):
+                f.write(f"{path} {i}\n")
+            csv = f.name
+        try:
+            def build():
+                return labeled_video_dataset(
+                    csv,
+                    make_clip_sampler("uniform", 1.0),
+                    video_sampler=SequentialSampler,
+                )
+
+            sequential = [
+                (int(s["label"]), int(s["clip_index"]), s["video"].sum())
+                for s in build()
+            ]
+            loader = BatchLoader(
+                build(), batch_size=1, num_workers=4, drop_last=False
+            )
+            parallel = [
+                (
+                    int(b["label"][0]),
+                    int(b["clip_index"][0]),
+                    np.asarray(b["video"][0]).sum(),
+                )
+                for b in loader
+            ]
+            assert sorted(parallel) == sorted(sequential)
+        finally:
+            os.unlink(csv)
+
+
+def test_batch_loader_parallel_aug_grouping():
+    """constant_clips_per_video with augs_per_clip>1: one decode produces
+    all augmented views with correct aug indices."""
+    with temp_encoded_video(num_frames=10, fps=5) as (path, _):
+        with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+            f.write(f"{path} 0\n")
+            csv = f.name
+        try:
+            ds = labeled_video_dataset(
+                csv,
+                make_clip_sampler("constant_clips_per_video", 1.0, 2, 3),
+                video_sampler=SequentialSampler,
+            )
+            loader = BatchLoader(ds, batch_size=1, num_workers=2, drop_last=False)
+            seen = sorted(
+                (int(b["clip_index"][0]), int(b["aug_index"][0])) for b in loader
+            )
+            assert seen == [(c, a) for c in range(2) for a in range(3)]
+        finally:
+            os.unlink(csv)
+
+
+def test_batch_loader_decodes_concurrently():
+    """The lock must not serialize load_clip: with 4 workers and a slow
+    decode, executions overlap."""
+    import threading
+    import time
+
+    class SlowPlanned:
+        def __init__(self):
+            self.lock = threading.Lock()
+            self.concurrent = 0
+            self.max_concurrent = 0
+
+        def plan_clips(self):
+            for i in range(8):
+                yield i
+
+        def load_clip(self, plan):
+            with self.lock:
+                self.concurrent += 1
+                self.max_concurrent = max(self.max_concurrent, self.concurrent)
+            time.sleep(0.05)
+            with self.lock:
+                self.concurrent -= 1
+            return [{"x": np.full((2,), plan)}]
+
+    ds = SlowPlanned()
+    loader = BatchLoader(ds, batch_size=2, num_workers=4, drop_last=False)
+    batches = list(loader)
+    assert sum(len(b["x"]) for b in batches) == 8
+    assert ds.max_concurrent >= 3, f"decode serialized: {ds.max_concurrent}"
+
+
 def test_device_prefetch():
     batches = [{"x": np.full((2, 3), i)} for i in range(5)]
     out = list(device_prefetch(iter(batches), size=2))
