@@ -1,4 +1,9 @@
-"""Benchmark: X3D-S Kinetics-400 inference throughput (clips/sec/chip).
+"""Benchmark: the full BASELINE.json north-star metric set.
+
+Emits ONE json line with the headline X3D-S number in "value"/"vs_baseline"
+(driver contract) plus a "submetrics" record carrying the other two named
+metrics: SlowFast-R50 inference clips/s/chip and the decode+transform
+pipeline FPS. Anchors and their provenance live in BASELINE.json.published.
 
 Methodology notes (load-bearing in this environment):
 - The axon TPU tunnel's ``block_until_ready`` does not reliably reflect
@@ -8,19 +13,17 @@ Methodology notes (load-bearing in this environment):
   dispatch/readback overhead.
 - bf16 weights/activations (MXU path); deploy-form weights (accelerate
   fold_conv_bn folds the BN affine into conv kernels — the framework's
-  production inference path, ~1.7% over plain eval).
-- batch 128 (measured sweet spot on one chip: 64→2850, 128→3750,
-  256→3570 clips/s).
-
-The reference publishes no GPU/TPU throughput numbers (SURVEY.md §6), so
-round 1 anchors vs_baseline at BASELINE_CLIPS_PER_SEC (round-1 measured
-value); later rounds must beat it.
-
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+  production inference path).
+- X3D-S batch 128 (measured sweet spot on one chip: 64→2850, 128→3750,
+  256→3570 clips/s); SlowFast-R50 batch 64 (64 beat 32/128 in the round-1
+  sweep).
+- Pipeline FPS is host-side (decode+transform through BatchLoader with the
+  plan/load parallel split, 4 workers) — it exercises no TPU.
 """
 
 import json
 import os
+import tempfile
 import time
 
 # keep the TPU default but register the CPU backend too: params are
@@ -33,81 +36,220 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_CLIPS_PER_SEC = 2680.0  # round-1 anchor (v5e, batch 64, bf16)
+# Anchors (provenance recorded in BASELINE.json "published"):
+#  - x3d_s: round-1 bench.py measurement (v5e chip, batch 64, bf16 deploy form)
+#  - slowfast_r50: round-1 benchmarks/model_throughput.py (B64, bf16 deploy)
+#  - pipeline_fps: round-2 first measurement on the 1-core dev box with the
+#    serialized round-1 loader semantics (1 worker); beating it = real
+#    decode parallelism.
+BASELINES = {
+    "x3d_s": 2680.0,
+    "slowfast_r50": 1092.0,
+    "pipeline_fps": 160.0,
+}
 
-BATCH = 128
-CLIP_LEN = 13
-CROP = 160
 N_SMALL = 1
 N_BIG = 9
 
 
-def main():
-    from pytorchvideo_tpu.models import hub
+def _measure_model(model, example, batch_inputs, variables, device):
+    """clips/s for model.apply on batch_inputs (list or single array) using
+    the trip-count-differenced on-device loop."""
 
-    model = hub.x3d_s(model_num_class=400)
-    rng = np.random.default_rng(0)
-    device = jax.devices()[0]
-    cpu = jax.devices("cpu")[0]
+    @jax.jit
+    def loop(variables, xs, n):
+        def body(i, carry):
+            xs, acc = carry
+            out = model.apply(variables, xs, False)
+            probe = out.mean().astype(jnp.float32)
+            if isinstance(xs, (list, tuple)):
+                xs = type(xs)(
+                    x + (probe * 1e-24).astype(x.dtype) for x in xs
+                )
+            else:
+                xs = xs + (probe * 1e-24).astype(xs.dtype)
+            return (xs, acc + probe)
+
+        _, acc = jax.lax.fori_loop(0, n, body, (xs, jnp.float32(0)))
+        return acc
+
+    float(loop(variables, batch_inputs, N_SMALL))
+    float(loop(variables, batch_inputs, N_BIG))
+    best_small = best_big = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(loop(variables, batch_inputs, N_SMALL))
+        best_small = min(best_small, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(loop(variables, batch_inputs, N_BIG))
+        best_big = min(best_big, time.perf_counter() - t0)
+    diff = best_big - best_small
+    assert diff > 0, f"timing below noise floor (diff={diff:.6f}s)"
+    per_step = diff / (N_BIG - N_SMALL)
+    leading = (
+        batch_inputs[0].shape[0]
+        if isinstance(batch_inputs, (list, tuple))
+        else batch_inputs.shape[0]
+    )
+    return leading / per_step
+
+
+def _deploy_variables(model, example_shapes, device, cpu):
     from pytorchvideo_tpu.accelerate import fold_conv_bn
 
     with jax.default_device(cpu):
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, CLIP_LEN, CROP, CROP, 3)), False
-        )
-        variables = fold_conv_bn(variables)  # deploy form
+        example = [jnp.zeros(s) for s in example_shapes]
+        if len(example) == 1:
+            example = example[0]
+        variables = model.init(jax.random.PRNGKey(0), example, False)
+        variables = fold_conv_bn(variables)
         variables = {
             "params": jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16), variables["params"]
             ),
             "batch_stats": variables["batch_stats"],
         }
-    variables = jax.device_put(variables, device)
+    return jax.device_put(variables, device)
+
+
+def bench_x3d_s(device, cpu):
+    from pytorchvideo_tpu.models import hub
+
+    model = hub.x3d_s(model_num_class=400)
+    B, T, S = 128, 13, 160
+    variables = _deploy_variables(model, [(1, T, S, S, 3)], device, cpu)
+    rng = np.random.default_rng(0)
     x = jax.device_put(
-        jnp.asarray(
-            rng.uniform(-1, 1, (BATCH, CLIP_LEN, CROP, CROP, 3)), jnp.bfloat16
+        jnp.asarray(rng.uniform(-1, 1, (B, T, S, S, 3)), jnp.bfloat16), device
+    )
+    return _measure_model(model, None, x, variables, device)
+
+
+def bench_slowfast_r50(device, cpu):
+    from pytorchvideo_tpu.models import hub
+
+    model = hub.slowfast_r50(model_num_class=400)
+    B, S = 64, 224
+    variables = _deploy_variables(
+        model, [(1, 8, S, S, 3), (1, 32, S, S, 3)], device, cpu
+    )
+    rng = np.random.default_rng(0)
+    xs = [
+        jax.device_put(
+            jnp.asarray(rng.uniform(-1, 1, (B, 8, S, S, 3)), jnp.bfloat16),
+            device,
         ),
-        device,
+        jax.device_put(
+            jnp.asarray(rng.uniform(-1, 1, (B, 32, S, S, 3)), jnp.bfloat16),
+            device,
+        ),
+    ]
+    return _measure_model(model, None, xs, variables, device)
+
+
+def bench_pipeline_fps():
+    """Host decode+transform FPS: synthetic mp4s -> BatchLoader (4 decode
+    workers, plan/load split) -> val-style transform chain. Reported as
+    source frames decoded+transformed per second."""
+    import cv2
+
+    from pytorchvideo_tpu.data import (
+        SequentialSampler,
+        labeled_video_dataset,
+        make_clip_sampler,
+    )
+    from pytorchvideo_tpu.data.loader import BatchLoader
+    from pytorchvideo_tpu.transforms import (
+        CenterCropVideo,
+        Compose,
+        Div255,
+        Normalize,
+        ShortSideScale,
+        UniformTemporalSubsample,
     )
 
-    @jax.jit
-    def loop(variables, x, n):
-        def body(i, carry):
-            xx, acc = carry
-            out = model.apply(variables, xx, False)
-            probe = out.mean().astype(jnp.float32)
-            return (xx + (probe * 1e-24).astype(xx.dtype), acc + probe)
+    rng = np.random.default_rng(0)
+    n_frames, h, w, fps = 60, 240, 320, 30
+    base = rng.integers(0, 255, (1, h, w, 3), dtype=np.uint8)
+    arr = np.clip(
+        base.astype(np.int16)
+        + rng.integers(-20, 20, (n_frames, h, w, 3), dtype=np.int16),
+        0,
+        255,
+    ).astype(np.uint8)
+    frame_transform = Compose(
+        [
+            UniformTemporalSubsample(8),
+            Div255(),
+            Normalize([0.45] * 3, [0.225] * 3),
+            ShortSideScale(182),
+            CenterCropVideo(160),
+        ]
+    )
 
-        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
-        return acc
+    def transform(sample):
+        sample["video"] = np.asarray(frame_transform(sample["video"]))
+        return sample
 
-    # warm both trip counts (compile)
-    float(loop(variables, x, N_SMALL))
-    float(loop(variables, x, N_BIG))
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i in range(8):
+            p = os.path.join(td, f"v{i}.mp4")
+            wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+            for f in arr:
+                wr.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+            wr.release()
+            paths.append(p)
+        csv = os.path.join(td, "data.csv")
+        with open(csv, "w") as f:
+            for i, p in enumerate(paths):
+                f.write(f"{p} {i}\n")
 
-    # difference the per-trip-count minima over several trials: robust to
-    # dispatch-latency noise through the device tunnel (min of per-trial
-    # differences can under/over-shoot when noise ~ kernel time)
-    best_small = best_big = float("inf")
-    for _ in range(5):
+        ds = labeled_video_dataset(
+            csv,
+            make_clip_sampler("uniform", 0.5),
+            video_sampler=SequentialSampler,
+            transform=transform,
+        )
+        loader = BatchLoader(ds, batch_size=4, num_workers=4, drop_last=False)
+        src_frames_per_clip = int(0.5 * fps)
         t0 = time.perf_counter()
-        float(loop(variables, x, N_SMALL))
-        best_small = min(best_small, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(loop(variables, x, N_BIG))
-        best_big = min(best_big, time.perf_counter() - t0)
-    diff = best_big - best_small
-    assert diff > 0, f"timing below noise floor (diff={diff:.6f}s)"
-    best = diff / (N_BIG - N_SMALL)
+        n_clips = sum(b["video"].shape[0] for b in loader)
+        dt = time.perf_counter() - t0
+        return n_clips * src_frames_per_clip / dt
 
-    clips_per_sec = BATCH / best
+
+def main():
+    device = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+
+    x3d = bench_x3d_s(device, cpu)
+    slowfast = bench_slowfast_r50(device, cpu)
+    pipeline = bench_pipeline_fps()
+
     print(
         json.dumps(
             {
                 "metric": "x3d_s_inference_clips_per_sec_per_chip",
-                "value": round(clips_per_sec, 2),
+                "value": round(x3d, 2),
                 "unit": "clips/s",
-                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
+                "vs_baseline": round(x3d / BASELINES["x3d_s"], 3),
+                "submetrics": {
+                    "slowfast_r50_inference_clips_per_sec_per_chip": {
+                        "value": round(slowfast, 2),
+                        "unit": "clips/s",
+                        "vs_baseline": round(
+                            slowfast / BASELINES["slowfast_r50"], 3
+                        ),
+                    },
+                    "decode_transform_pipeline_fps": {
+                        "value": round(pipeline, 1),
+                        "unit": "frames/s",
+                        "vs_baseline": round(
+                            pipeline / BASELINES["pipeline_fps"], 3
+                        ),
+                    },
+                },
             }
         )
     )

@@ -1,0 +1,268 @@
+"""Kinetics-style model-zoo evaluation harness.
+
+Given a reference ``.pyth`` checkpoint and a val csv ("<path> <label>" per
+line), runs the exact model-zoo test protocol — N uniform temporal clips x
+M spatial crops per video, logits ensembled per video by sum (reference
+module/video_classification.py:275-311; views per model in
+reference docs/source/model_zoo.md:63) — and reports top-1/top-5.
+
+This is the accuracy-parity gate runner for when checkpoints are available
+locally (this environment has no egress, so no checkpoint download here;
+weight-sync logit parity vs the reference modules is covered by
+tests/test_models_parity.py).
+
+Usage:
+    python examples/eval_kinetics.py --model slow_r50 \
+        --checkpoint SLOW_8x8_R50.pyth --data val.csv
+    python examples/eval_kinetics.py --model x3d_s --checkpoint X3D_S.pyth \
+        --data val.csv
+    # smoke-run on synthetic videos + random weights:
+    python examples/eval_kinetics.py --model x3d_s --synthetic
+
+Per-model eval settings (frames, sampling rate, side/crop size, views)
+default to the reference's published protocol and can be overridden by
+flags.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# (num_frames, sampling_rate, side_size, crop_size, clips, spatial_crops,
+#  slowfast_alpha) — reference hub docs + model_zoo.md views column.
+EVAL_CONFIGS = {
+    "c2d_r50": (8, 8, 256, 256, 10, 3, None),
+    "i3d_r50": (8, 8, 256, 256, 10, 3, None),
+    "slow_r50": (8, 8, 256, 256, 10, 3, None),
+    "slowfast_r50": (32, 2, 256, 256, 10, 3, 4),
+    "slowfast_r101": (32, 2, 256, 256, 10, 3, 4),
+    "slowfast_16x8_r101_50_50": (64, 2, 256, 256, 10, 3, 4),
+    "csn_r101": (32, 2, 256, 256, 10, 3, None),
+    "r2plus1d_r50": (16, 4, 256, 256, 10, 3, None),
+    "x3d_xs": (4, 12, 182, 182, 10, 3, None),
+    "x3d_s": (13, 6, 182, 182, 10, 3, None),
+    "x3d_m": (16, 5, 256, 256, 10, 3, None),
+    "x3d_l": (16, 5, 356, 356, 10, 3, None),
+    "mvit_base_16x4": (16, 4, 256, 224, 5, 1, None),
+    "mvit_base_32x3": (32, 3, 256, 224, 5, 1, None),
+}
+
+KINETICS_MEAN = [0.45, 0.45, 0.45]
+KINETICS_STD = [0.225, 0.225, 0.225]
+
+
+def build_transform(num_frames, side_size, crop_size, alpha):
+    from pytorchvideo_tpu.transforms import (
+        ApplyTransformToKey,
+        Compose,
+        Div255,
+        Normalize,
+        ShortSideScale,
+        UniformCropVideo,
+        UniformTemporalSubsample,
+    )
+
+    video_chain = Compose(
+        [
+            UniformTemporalSubsample(num_frames),
+            Div255(),
+            Normalize(KINETICS_MEAN, KINETICS_STD),
+            ShortSideScale(side_size),
+        ]
+    )
+
+    def transform(sample):
+        sample = ApplyTransformToKey("video", video_chain)(sample)
+        sample = UniformCropVideo(crop_size)(sample)
+        sample["video"] = np.asarray(sample["video"], np.float32)
+        if alpha is not None:
+            from pytorchvideo_tpu.train.transforms import SlowFastPackPathway
+
+            sample["video"] = SlowFastPackPathway(alpha)(sample["video"])
+        return sample
+
+    return transform
+
+
+def evaluate(
+    model,
+    variables,
+    data_csv,
+    *,
+    num_frames,
+    sampling_rate,
+    side_size,
+    crop_size,
+    clips_per_video,
+    spatial_crops,
+    alpha,
+    batch_size,
+    fps=30.0,
+    ensemble_method="sum",
+    max_videos=None,
+):
+    import jax
+
+    from pytorchvideo_tpu.data import (
+        SequentialSampler,
+        labeled_video_dataset,
+        make_clip_sampler,
+    )
+    from pytorchvideo_tpu.data.loader import BatchLoader
+    from pytorchvideo_tpu.train.train_loop import ensemble_video_level
+
+    clip_duration = num_frames * sampling_rate / fps
+    ds = labeled_video_dataset(
+        data_csv,
+        make_clip_sampler(
+            "constant_clips_per_video",
+            clip_duration,
+            clips_per_video,
+            spatial_crops,
+        ),
+        video_sampler=SequentialSampler,
+        transform=build_transform(num_frames, side_size, crop_size, alpha),
+        decoder="native",
+    )
+    num_videos = ds.num_videos
+    loader = BatchLoader(ds, batch_size=batch_size, num_workers=4, drop_last=False)
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, False))
+    logits_list, vidx_list = [], []
+    labels = np.full(num_videos, -1, np.int64)
+    for batch in loader:
+        x = batch["video"]
+        logits_list.append(np.asarray(fwd(variables, x)))
+        vidx = np.asarray(batch["video_index"])
+        vidx_list.append(vidx)
+        labels[vidx] = np.asarray(batch["label"])
+    seen = labels >= 0
+    ensembled = np.asarray(
+        ensemble_video_level(
+            logits_list, vidx_list, num_videos, method=ensemble_method
+        )
+    )
+    order = np.argsort(-ensembled[seen], axis=-1)
+    gt = labels[seen][:, None]
+    top1 = float((order[:, :1] == gt).any(-1).mean())
+    top5 = float((order[:, :5] == gt).any(-1).mean())
+    return {
+        "num_videos": int(seen.sum()),
+        "views": f"{clips_per_video}x{spatial_crops}",
+        "top1": round(top1 * 100, 2),
+        "top5": round(top5 * 100, 2),
+    }
+
+
+def make_synthetic_dataset(td, num_videos=4, num_classes=4, seconds=2.0, fps=10):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    csv = os.path.join(td, "val.csv")
+    with open(csv, "w") as f:
+        for i in range(num_videos):
+            p = os.path.join(td, f"v{i}.avi")
+            wr = cv2.VideoWriter(
+                p, cv2.VideoWriter_fourcc(*"FFV1"), fps, (224, 224)
+            )
+            for frame in rng.integers(
+                0, 255, (int(seconds * fps), 224, 224, 3), np.uint8
+            ):
+                wr.write(frame)
+            wr.release()
+            f.write(f"{p} {i % num_classes}\n")
+    return csv
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="x3d_s", choices=sorted(EVAL_CONFIGS))
+    parser.add_argument("--checkpoint", default=None, help=".pyth path")
+    parser.add_argument("--data", default=None, help="val csv: '<path> <label>'")
+    parser.add_argument("--num-classes", type=int, default=400)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--clips-per-video", type=int, default=None)
+    parser.add_argument("--spatial-crops", type=int, default=None)
+    parser.add_argument("--side-size", type=int, default=None)
+    parser.add_argument("--crop-size", type=int, default=None)
+    parser.add_argument("--ensemble", default="sum", choices=["sum", "max"])
+    parser.add_argument(
+        "--synthetic",
+        action="store_true",
+        help="smoke-run on generated videos with random-init weights",
+    )
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from pytorchvideo_tpu.models import hub
+
+    (
+        num_frames,
+        sampling_rate,
+        side_size,
+        crop_size,
+        clips,
+        crops,
+        alpha,
+    ) = EVAL_CONFIGS[args.model]
+    clips = args.clips_per_video or clips
+    crops = args.spatial_crops or crops
+    side_size = args.side_size or side_size
+    crop_size = args.crop_size or crop_size
+
+    model = getattr(hub, args.model)(model_num_class=args.num_classes)
+    if alpha is not None:
+        example = [
+            np.zeros((1, num_frames // alpha, crop_size, crop_size, 3), np.float32),
+            np.zeros((1, num_frames, crop_size, crop_size, 3), np.float32),
+        ]
+    else:
+        example = np.zeros((1, num_frames, crop_size, crop_size, 3), np.float32)
+
+    if args.checkpoint:
+        variables, _report = hub.load_pretrained_variables(
+            model, example, args.checkpoint
+        )
+    else:
+        if not args.synthetic:
+            parser.error("--checkpoint required unless --synthetic")
+        variables = model.init(jax.random.PRNGKey(0), example, False)
+
+    def run(data_csv):
+        return evaluate(
+            model,
+            variables,
+            data_csv,
+            num_frames=num_frames,
+            sampling_rate=sampling_rate,
+            side_size=side_size,
+            crop_size=crop_size,
+            clips_per_video=clips,
+            spatial_crops=crops,
+            alpha=alpha,
+            batch_size=args.batch_size,
+            ensemble_method=args.ensemble,
+        )
+
+    if args.synthetic:
+        with tempfile.TemporaryDirectory() as td:
+            result = run(make_synthetic_dataset(td, num_classes=args.num_classes))
+    else:
+        if not args.data:
+            parser.error("--data required unless --synthetic")
+        result = run(args.data)
+
+    result["model"] = args.model
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,7 @@ def _tiny_x3d():
     return model, variables, x
 
 
+@pytest.mark.slow
 def test_fold_conv_bn_equivalence():
     model, variables, x = _tiny_x3d()
     # perturb batch stats so the fold actually does something
@@ -189,6 +190,7 @@ def test_neural_engine_topology_and_fail_strategy():
         FailingHook("RAISE_ERROR").run(OrderedDict(path="p"))
 
 
+@pytest.mark.slow
 def test_detection_hooks_pipeline():
     from pytorchvideo_tpu.engine import (
         ActionDetectionHook,
@@ -339,6 +341,7 @@ def test_detection_executors_and_hooks_with_stub_predictor():
     assert kps.shape == (1, 17, 3)
 
 
+@pytest.mark.slow
 def test_hub_model_builder():
     """default_config fills unset kwargs; kwargs forbidden with pretrained
     (reference models/hub/utils.py:12-49)."""

@@ -239,6 +239,7 @@ def test_ego4d_moments_audio_from_file(tmp_path):
     assert np.isfinite(sample["spectrogram"]).all()
 
 
+@pytest.mark.slow
 def test_av_slowfast_from_file_e2e():
     """Full path: A/V file -> native decode -> mel-spectrogram -> 3-pathway
     audio-visual SlowFast forward (the capability hole flagged in round 1:

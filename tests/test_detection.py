@@ -63,6 +63,7 @@ def test_resnet_roi_head_forward():
     assert out.shape == (2, 5)
 
 
+@pytest.mark.slow
 def test_resnet_with_roi_head_forward():
     model = models.create_resnet_with_roi_head(
         model_num_class=6,
@@ -79,6 +80,7 @@ def test_resnet_with_roi_head_forward():
     assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
 
 
+@pytest.mark.slow
 def test_slowfast_with_roi_head_forward():
     model = models.create_slowfast_with_roi_head(
         model_num_class=4,

@@ -123,6 +123,7 @@ def test_r2plus1d_parity():
     _run_pair(ref_model, our_model, x)
 
 
+@pytest.mark.slow
 def test_mvit_tiny_parity():
     ref_vit = load_ref("pytorchvideo.models.vision_transformers")
     kwargs = dict(

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from pytorchvideo_tpu import models
 
 
+@pytest.mark.slow
 def test_audio_visual_slowfast_forward():
     model = models.create_audio_visual_slowfast(
         model_num_class=7,

@@ -121,6 +121,7 @@ def test_moco_step_rotates_queue_and_updates_momentum():
 
 
 @pytest.mark.parametrize("task", ["byol", "simclr", "moco_v2"])
+@pytest.mark.slow
 def test_ssl_app_end_to_end(task, tmp_path):
     ctx = temp_encoded_video(num_frames=12, fps=6, height=48, width=48)
     path, _ = ctx.__enter__()

@@ -36,6 +36,7 @@ def _tiny_model():
     )
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     model = _tiny_model()
     x = jnp.asarray(
@@ -61,6 +62,7 @@ def test_train_step_reduces_loss():
     assert logits.shape == (4, 5)
 
 
+@pytest.mark.slow
 def test_train_step_mixed_precision_bf16():
     """bf16 compute, f32 masters: loss decreases, params/stats stay f32."""
     model = _tiny_model()
@@ -120,6 +122,7 @@ def test_local_group_sync_bn():
     np.testing.assert_allclose(got, expected, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_remat_matches_no_remat():
     """Activation remat recomputes the same forward: identical updates."""
     model = _tiny_model()
@@ -149,6 +152,7 @@ def test_train_step_remat_matches_no_remat():
         )
 
 
+@pytest.mark.slow
 def test_train_step_data_parallel_mesh():
     assert len(jax.devices()) == 8
     mesh = make_mesh((-1,), ("data",))
@@ -267,6 +271,7 @@ def test_steps_with_relative_lrs():
         )
 
 
+@pytest.mark.slow
 def test_lars_optimizer_runs():
     model = _tiny_model()
     x = jnp.zeros((2, 2, 32, 32, 3))
@@ -285,6 +290,7 @@ def test_lars_optimizer_runs():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__
 
@@ -364,6 +370,7 @@ def test_grad_accum_threads_bn_stats():
     assert changed, "batch_stats did not update through the scan"
 
 
+@pytest.mark.slow
 def test_fsdp_shardings_match_replicated():
     """FSDP (ZeRO-3 via GSPMD): large params sharded over the data axis;
     the train step compiles, runs, and matches the replicated result.

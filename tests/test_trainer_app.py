@@ -130,6 +130,7 @@ def _make_csv_dataset(tmpdir, n_videos=2):
     return csv_path, ctx
 
 
+@pytest.mark.slow
 def test_train_app_end_to_end(tmp_path):
     csv_path, ctx = _make_csv_dataset(str(tmp_path))
     try:

@@ -128,6 +128,7 @@ def test_cutmix_lambda_matches_box_area():
     np.testing.assert_allclose(lm[0, 0], lm[1, 1], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mix_video_selects_either_branch():
     mv = MixVideo(cutmix_prob=0.5, num_classes=4)
     x = jnp.asarray(_clip(t=2)[None].repeat(2, 0))

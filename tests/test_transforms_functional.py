@@ -251,6 +251,7 @@ class TestHostDevicePathParity:
         assert out.shape == (4, 24, 24, 3)
 
 
+@pytest.mark.slow
 def test_geometry_transforms_randomized_parity_sweep():
     """100 random (H, W, size, crop) configs: short_side_scale,
     uniform_crop (3 positions), and uniform_temporal_subsample must match

@@ -1,5 +1,6 @@
 """Model complexity analysis (reference model_zoo.md params/GFLOPs tables)."""
 
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ from pytorchvideo_tpu.utils.flops import (
 )
 
 
+@pytest.mark.slow
 def test_x3d_s_params_match_reference_table():
     # reference docs/source/model_zoo.md:23 -> 3.79M params
     m = hub.x3d_s(model_num_class=400)
