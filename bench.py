@@ -38,13 +38,17 @@ import numpy as np
 
 # Anchors (provenance recorded in BASELINE.json "published"):
 #  - x3d_s: round-1 bench.py measurement (v5e chip, batch 64, bf16 deploy form)
-#  - slowfast_r50: round-1 benchmarks/model_throughput.py (B64, bf16 deploy)
+#  - slowfast_r50: corrected round-2 measurement (B64, bf16 deploy). The
+#    round-1 1092 was invalidated: its timing loop chained only the slow
+#    pathway, so XLA hoisted the fast pathway out of the loop (LICM) and
+#    the measurement covered a fraction of the model (1095 vs 496 side by
+#    side on v5e; see utils/profiling.py time_jitted note).
 #  - pipeline_fps: round-2 first measurement on the 1-core dev box with the
 #    serialized round-1 loader semantics (1 worker); beating it = real
 #    decode parallelism.
 BASELINES = {
     "x3d_s": 2680.0,
-    "slowfast_r50": 1092.0,
+    "slowfast_r50": 496.0,
     "pipeline_fps": 160.0,
 }
 

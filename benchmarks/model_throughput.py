@@ -27,7 +27,10 @@ CONFIGS = [
     ("x3d_xs", "x3d_xs", (4, 160), 256),  # 64->10760, 256->14410, 512->13264 clips/s
     ("x3d_s", "x3d_s", (13, 160), 128),
     ("slow_r50", "slow_r50", (8, 224), 64),
-    ("slowfast_r50", "slowfast_r50", None, 64),  # 16->995, 32->1048, 64->1092 clips/s
+    # NOTE: round-1 recorded 995/1048/1092 for B16/32/64 — invalidated:
+    # time_jitted then chained only args[0] (slow pathway), so XLA hoisted
+    # the fast pathway out of the timing loop. Corrected harness: ~496 @ B64.
+    ("slowfast_r50", "slowfast_r50", None, 64),
     ("mvit_base_16x4", "mvit_base_16x4", (16, 224), 16),
     ("mvit_base_32x3", "mvit_base_32x3", (32, 224), 8),
 ]

@@ -66,7 +66,7 @@ def model_batch_sweep():
 
     cpu = jax.devices("cpu")[0]
     device = jax.devices()[0]
-    model = hub.mvit_base_16x4(model_num_class=400)
+    model = hub.mvit_base_16x4(head_num_classes=400)
     with jax.default_device(cpu):
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 16, 224, 224, 3)), False

@@ -160,6 +160,32 @@ def _maybe_kernel(kernel, stride) -> Optional[Size3]:
     return triple(kernel)
 
 
+class _ProjParams(nn.Module):
+    """Declares a Dense-shaped (kernel, bias) param pair without running the
+    GEMM. Used to keep separate q/k/v parameter trees (checkpoint-compatible
+    with nn.Dense(name="q"|"k"|"v")) while computing all three projections
+    as ONE fused GEMM — a single pass over the (B*L, C) activation instead
+    of three (the activations dominate HBM traffic at MViT's early-block
+    sequence lengths)."""
+
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.linear.default_kernel_init,
+            (in_features, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class MultiScaleAttention(nn.Module):
     """Pooled multi-head attention (reference attention.py:215-544)."""
 
@@ -233,18 +259,20 @@ class MultiScaleAttention(nn.Module):
             )
         else:
             if self.separate_qkv:
-                q = self._split_heads(
-                    nn.Dense(self.dim_out, use_bias=self.qkv_bias, name="q")(x),
-                    self.num_heads,
-                )
-                k = self._split_heads(
-                    nn.Dense(self.dim_out, use_bias=self.qkv_bias, name="k")(x),
-                    self.num_heads,
-                )
-                v = self._split_heads(
-                    nn.Dense(self.dim_out, use_bias=self.qkv_bias, name="v")(x),
-                    self.num_heads,
-                )
+                # Separate q/k/v params (reference layout), fused compute:
+                # one (C, 3*dim_out) GEMM reads x once instead of three
+                # times and fills wider MXU tiles at the small early dims.
+                wq, bq = _ProjParams(self.dim_out, self.qkv_bias, name="q")(C)
+                wk, bk = _ProjParams(self.dim_out, self.qkv_bias, name="k")(C)
+                wv, bv = _ProjParams(self.dim_out, self.qkv_bias, name="v")(C)
+                w = jnp.concatenate([wq, wk, wv], axis=1).astype(x.dtype)
+                y = x @ w
+                if self.qkv_bias:
+                    y = y + jnp.concatenate([bq, bk, bv]).astype(y.dtype)
+                d = self.dim_out
+                q = self._split_heads(y[..., :d], self.num_heads)
+                k = self._split_heads(y[..., d : 2 * d], self.num_heads)
+                v = self._split_heads(y[..., 2 * d :], self.num_heads)
             else:
                 qkv = nn.Dense(
                     self.dim_out * 3, use_bias=self.qkv_bias, name="qkv"
