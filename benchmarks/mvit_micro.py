@@ -190,6 +190,101 @@ def attention_padding():
         )
 
 
+def _pallas_nopad(q, k, v, scale, residual, tile_q):
+    """cdiv-grid variant: no materialized jnp.pad on Lq/Lk/c — Mosaic
+    handles ragged block edges internally. Candidate replacement for the
+    padded wrapper in ops/pooled_attention.py."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pytorchvideo_tpu.ops.pooled_attention import _attention_kernel
+
+    B, H, Lq, c = q.shape
+    Lk = k.shape[2]
+    qf = q.reshape(B * H, Lq, c)
+    kf = k.reshape(B * H, Lk, c)
+    vf = v.reshape(B * H, Lk, c)
+    grid = (B * H, pl.cdiv(Lq, tile_q))
+    out = pl.pallas_call(
+        functools.partial(
+            _attention_kernel, scale=scale, lk_valid=Lk, residual=residual
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, c), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_q, c), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, c), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, c), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_q, c), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+    )(qf, kf, vf)
+    return out.reshape(B, H, Lq, c)
+
+
+def attention_nopad(n_big=33):
+    from pytorchvideo_tpu.ops.pooled_attention import pooled_attention_pallas
+
+    device = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    shapes = [
+        ("d0", 16, 1, 25089, 96, 393),
+        ("d1", 16, 2, 6273, 96, 393),
+        ("d3", 16, 4, 1569, 96, 393),
+        ("d14", 16, 8, 393, 96, 99),
+    ]
+    for label, B, H, Lq, c, Lk in shapes:
+        q = jax.device_put(
+            jnp.asarray(rng.uniform(-1, 1, (B, H, Lq, c)), jnp.bfloat16), device
+        )
+        k = jax.device_put(
+            jnp.asarray(rng.uniform(-1, 1, (B, H, Lk, c)), jnp.bfloat16), device
+        )
+        v = jax.device_put(
+            jnp.asarray(rng.uniform(-1, 1, (B, H, Lk, c)), jnp.bfloat16), device
+        )
+        tile = 512 if Lq >= 8192 else 256
+        # numerics check vs padded path first
+        a = np.asarray(
+            jax.jit(
+                lambda q, k, v: pooled_attention_pallas(
+                    q, k, v, c**-0.5, True, False, tile
+                )
+            )(q, k, v),
+            np.float32,
+        )
+        b = np.asarray(
+            jax.jit(lambda q, k, v: _pallas_nopad(q, k, v, c**-0.5, True, tile))(
+                q, k, v
+            ),
+            np.float32,
+        )
+        err = float(np.abs(a - b).max())
+        t_pad = time_fn(
+            lambda q, k, v: pooled_attention_pallas(
+                q, k, v, c**-0.5, True, False, tile
+            ),
+            q, k, v, n_big=n_big,
+        )
+        t_nopad = time_fn(
+            lambda q, k, v: _pallas_nopad(q, k, v, c**-0.5, True, tile),
+            q, k, v, n_big=n_big,
+        )
+        emit(
+            bench="attention_nopad",
+            shape=label,
+            padded_ms=round(t_pad * 1e3, 3),
+            nopad_ms=round(t_nopad * 1e3, 3),
+            max_err=err,
+        )
+
+
 def gelu_flavors():
     device = jax.devices()[0]
     rng = np.random.default_rng(0)
@@ -209,8 +304,11 @@ def gelu_flavors():
 if __name__ == "__main__":
     if "--models-only" in sys.argv:
         model_batch_sweep()
+    elif "--nopad-only" in sys.argv:
+        attention_nopad()
     else:
         model_batch_sweep()
         qkv_fusion()
         attention_padding()
+        attention_nopad()
         gelu_flavors()
