@@ -1,17 +1,19 @@
 """Depthwise token-pool formulations (real TPU).
 
-The round-1 MViT breakdown attributed ~19 ms/step (of 56) to the k/v
-projection+pool chain. The pool itself is a depthwise 3x3x3 conv3d with
-groups=c — grouped convs are a known weak spot for XLA:TPU (they often
-lower off the MXU). This harness times three mathematically equivalent
-formulations at the hot d384-block shape, with enough loop iterations to
-beat tunnel dispatch noise:
+Measured findings (v5e, round 2):
+  - XLA grouped depthwise conv3d at the hot d3 kv shape
+    ((64, 8, 14, 14, 96), k 3x3x3, s (1,2,2)) runs in 0.05 ms — the k/v
+    pool chain is NOT a bottleneck. Round-1's ablation attributed ~19 ms
+    to it because the ablation swapped conv -> reduce_window avg pool as a
+    "near-zero" stand-in, but overlapping-window reduce_window at that
+    shape takes ~9.9 ms (~200x the conv): the attribution measured the
+    stand-in, not the component.
+  - The 27-tap strided-slice multiply-add reformulation is ~25x slower
+    than the conv AND triggers a TPU-worker kernel fault at the stride-4
+    d1 shape, so it is excluded from the default run (--with-madd to
+    include it at your own risk).
 
-  1. XLA grouped conv3d (current TokenPool path)
-  2. 27-tap shift-multiply-add (pure VPU elementwise, no conv machinery)
-  3. avg pool (cost floor: same memory traffic, no weights)
-
-Run: python benchmarks/pool_micro.py
+Run: python benchmarks/pool_micro.py [--with-madd]
 """
 
 import json
@@ -107,42 +109,41 @@ def main():
             ),
             device,
         )
-        a = np.asarray(
-            jax.jit(lambda g, w: xla_depthwise(g, w, stride, padding))(grid, w),
-            np.float32,
-        )
-        b = np.asarray(
-            jax.jit(lambda g, w: depthwise_pool_madd(g, w, stride, padding))(
-                grid, w
-            ),
-            np.float32,
-        )
-        err = float(np.abs(a - b).max())
+        with_madd = "--with-madd" in sys.argv
+        record = {"bench": "depthwise_pool", "shape": label}
         t_conv = time_fn(
             lambda g, w: xla_depthwise(g, w, stride, padding), grid, w, n_big=65
         )
-        t_madd = time_fn(
-            lambda g, w: depthwise_pool_madd(g, w, stride, padding),
-            grid,
-            w,
-            n_big=65,
-        )
+        record["conv_ms"] = round(t_conv * 1e3, 4)
         t_avg = time_fn(
             lambda g: avg_pool(g, stride, kernel, padding), grid, n_big=65
         )
-        print(
-            json.dumps(
-                {
-                    "bench": "depthwise_pool",
-                    "shape": label,
-                    "conv_ms": round(t_conv * 1e3, 4),
-                    "madd_ms": round(t_madd * 1e3, 4),
-                    "avg_ms": round(t_avg * 1e3, 4),
-                    "max_err": err,
-                }
-            ),
-            flush=True,
-        )
+        record["avg_ms"] = round(t_avg * 1e3, 4)
+        if with_madd:
+            a = np.asarray(
+                jax.jit(lambda g, w: xla_depthwise(g, w, stride, padding))(
+                    grid, w
+                ),
+                np.float32,
+            )
+            b = np.asarray(
+                jax.jit(lambda g, w: depthwise_pool_madd(g, w, stride, padding))(
+                    grid, w
+                ),
+                np.float32,
+            )
+            record["max_err"] = float(np.abs(a - b).max())
+            record["madd_ms"] = round(
+                time_fn(
+                    lambda g, w: depthwise_pool_madd(g, w, stride, padding),
+                    grid,
+                    w,
+                    n_big=65,
+                )
+                * 1e3,
+                4,
+            )
+        print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

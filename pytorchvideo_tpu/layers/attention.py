@@ -57,6 +57,25 @@ def _pooled_thw(thw: Size3, kernel: Size3, stride: Size3, padding: Size3) -> Siz
     )
 
 
+class _PoolConvParams(nn.Module):
+    """Kernel param of a bias-free grouped nn.Conv ((kt,kh,kw,in_pg,c)) —
+    declared without instantiating the conv so the packed TokenPool path can
+    apply it with head-tiled weights while keeping the exact nn.Conv
+    parameter tree ("pool"/"kernel")."""
+
+    kernel_size: Size3
+    in_per_group: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.linear.default_kernel_init,
+            tuple(self.kernel_size) + (self.in_per_group, self.features),
+        )
+
+
 class TokenPool(nn.Module):
     """Pool a flattened token tensor through its (T, H, W) geometry.
 
@@ -64,7 +83,11 @@ class TokenPool(nn.Module):
     reshape to the 3D grid, optional BN+GELU pre-pool, conv/max/avg pool,
     reshape back, re-attach cls, LN post-pool.
 
-    Input: (B, N, L, c) with N = heads (or 1). Returns (pooled, thw').
+    Input: (B, N, L, c) with N = heads (or 1), or — with ``head_groups`` > 1
+    — head-PACKED (B, L, head_groups*c) tokens, pooled without any per-head
+    transpose (the conv weights are declared per head-channel-group, shared
+    across heads exactly like the per-head path, and tiled at apply time).
+    Returns (pooled, thw').
     """
 
     pool_mode: Optional[str]  # "conv" | "max" | "avg" | None
@@ -73,11 +96,66 @@ class TokenPool(nn.Module):
     has_cls_embed: bool = True
     norm_layer: Optional[Callable] = None
     depthwise_conv: bool = True
+    head_groups: int = 1
+
+    def _packed_call(self, x, thw: Size3, train: bool):
+        kernel = triple(self.kernel)
+        stride = triple(self.stride)
+        padding = tuple(k // 2 for k in kernel)
+        Hg = self.head_groups
+
+        cls_tok = None
+        if self.has_cls_embed:
+            cls_tok, x = x[:, :1], x[:, 1:]
+        B, L, HC = x.shape
+        c = HC // Hg
+        T, Hh, W = thw
+        grid = x.reshape(B, T, Hh, W, HC)
+
+        norm = self.norm_layer(name="norm") if self.norm_layer is not None else None
+        norm_before = norm is not None and norm_is_batchnorm(self.norm_layer)
+        if norm_before:
+            # BN stats/params are per head-channel (c,), shared across heads:
+            # expose the head axis so the feature axis is c.
+            g6 = grid.reshape(B, T, Hh, W, Hg, c)
+            g6 = norm(g6, train=train)
+            grid = jax.nn.gelu(g6).reshape(B, T, Hh, W, HC)
+
+        if self.pool_mode == "conv":
+            in_pg = 1 if self.depthwise_conv else c
+            w = _PoolConvParams(kernel, in_pg, c, name="pool")()
+            w = jnp.tile(w, (1, 1, 1, 1, Hg)).astype(grid.dtype)
+            groups = HC if self.depthwise_conv else Hg
+            grid = jax.lax.conv_general_dilated(
+                grid,
+                w,
+                window_strides=stride,
+                padding=[(p, p) for p in padding],
+                dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+                feature_group_count=groups,
+            )
+        elif self.pool_mode == "max":
+            grid = max_pool3d(grid, kernel, stride, padding)
+        elif self.pool_mode == "avg":
+            grid = avg_pool3d(grid, kernel, stride, padding)
+        else:
+            raise NotImplementedError(self.pool_mode)
+
+        thw_out = grid.shape[1:4]
+        x = grid.reshape(B, thw_out[0] * thw_out[1] * thw_out[2], HC)
+        if cls_tok is not None:
+            x = jnp.concatenate([cls_tok, x], axis=1)
+        if norm is not None and not norm_before:
+            B2, L2, _ = x.shape
+            x = norm(x.reshape(B2, L2, Hg, c), train=train).reshape(B2, L2, HC)
+        return x, tuple(thw_out)
 
     @nn.compact
     def __call__(self, x, thw: Size3, train: bool = False):
         if self.pool_mode is None or self.kernel is None:
             return x, thw
+        if x.ndim == 3 and self.head_groups > 1:
+            return self._packed_call(x, thw, train)
         kernel = triple(self.kernel)
         stride = triple(self.stride)
         padding = tuple(k // 2 for k in kernel)
@@ -222,7 +300,7 @@ class MultiScaleAttention(nn.Module):
         kkv = _maybe_kernel(self.kernel_kv, self.stride_kv)
         conv_norm = self.norm_layer if self.pool_mode == "conv" else None
 
-        def pool(name, kernel, stride):
+        def pool(name, kernel, stride, head_groups: int = 1):
             return TokenPool(
                 pool_mode=self.pool_mode if kernel is not None else None,
                 kernel=kernel,
@@ -230,6 +308,7 @@ class MultiScaleAttention(nn.Module):
                 has_cls_embed=self.has_cls_embed,
                 norm_layer=conv_norm if kernel is not None else None,
                 depthwise_conv=self.depthwise_conv,
+                head_groups=head_groups,
                 name=name,
             )
 
@@ -286,29 +365,57 @@ class MultiScaleAttention(nn.Module):
                         return out
 
                     q_, k_, v_ = _proj(wq, bq), _proj(wk, bk), _proj(wv, bv)
-                q = self._split_heads(q_, self.num_heads)
-                k = self._split_heads(k_, self.num_heads)
-                v = self._split_heads(v_, self.num_heads)
             else:
                 qkv = nn.Dense(
                     self.dim_out * 3, use_bias=self.qkv_bias, name="qkv"
                 )(x)
-                qkv = qkv.reshape(
-                    B, L, 3, self.num_heads, self.dim_out // self.num_heads
+                # Reference channel order within the fused projection is
+                # (3, heads, head_dim) major-to-minor, so each third IS the
+                # head-packed layout.
+                d = self.dim_out
+                q_, k_, v_ = (
+                    qkv[..., :d],
+                    qkv[..., d : 2 * d],
+                    qkv[..., 2 * d :],
                 )
-                qkv = qkv.transpose(2, 0, 3, 1, 4)
-                q, k, v = qkv[0], qkv[1], qkv[2]
-            q, q_thw = pool("pool_q", kq, self.stride_q)(q, thw, train)
-            k, k_thw = pool("pool_k", kkv, self.stride_kv)(k, thw, train)
-            v, v_thw = pool("pool_v", kkv, self.stride_kv)(v, thw, train)
+            # Head-PACKED path: tokens stay (B, L, H*c) — the Dense output
+            # layout — through pooling and attention; no per-head
+            # (B,L,H,c)->(B,H,L,c) transposes reach HBM (measured ~11.5
+            # ms/step of pure layout copies at MViT-B b16 otherwise).
+            q, q_thw = pool(
+                "pool_q", kq, self.stride_q, head_groups=self.num_heads
+            )(q_, thw, train)
+            k, k_thw = pool(
+                "pool_k", kkv, self.stride_kv, head_groups=self.num_heads
+            )(k_, thw, train)
+            v, v_thw = pool(
+                "pool_v", kkv, self.stride_kv, head_groups=self.num_heads
+            )(v_, thw, train)
 
+            head_dim = self.dim_out // self.num_heads
+            from pytorchvideo_tpu.ops.pooled_attention import (
+                pooled_attention_packed,
+                pooled_attention_packed_xla,
+            )
+
+            if not self.is_initializing():
+                out = pooled_attention_packed(
+                    q, k, v, self.num_heads, head_dim**-0.5, self.residual_pool
+                )
+            else:
+                # Init often runs host-side under jax.default_device(cpu),
+                # where pallas can't lower.
+                out = pooled_attention_packed_xla(
+                    q, k, v, self.num_heads, head_dim**-0.5, self.residual_pool
+                )
+            out = nn.Dense(self.dim_out, use_bias=self.bias_on, name="proj")(out)
+            if self.dropout_rate > 0.0:
+                out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
+            return out, q_thw
+
+        # pool_first: per-head layout (pool raw tokens, then project).
         head_dim = self.dim_out // self.num_heads
         if not self.is_initializing():
-            # Fused Pallas kernel on TPU for long sequences (1.6-1.7x over
-            # the unfused XLA path at MViT-B shapes); differentiable — the
-            # custom VJP runs a flash-style Pallas backward, so training
-            # uses it too. Skipped during init (init often runs host-side
-            # under jax.default_device(cpu), where pallas can't lower).
             from pytorchvideo_tpu.ops.pooled_attention import pooled_attention
 
             out = pooled_attention(

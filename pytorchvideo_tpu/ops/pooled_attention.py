@@ -72,6 +72,7 @@ def _attention_bwd_kernel(
     scale,
     lk_valid,
     residual,
+    tile_axis=1,
 ):
     """One (bh, q-tile) backward step.
 
@@ -79,9 +80,11 @@ def _attention_bwd_kernel(
     never stored), emits dq for the tile, and accumulates dk/dv into a
     single VMEM-resident (L_k, c) block across the sequential q-tile grid
     dimension (the dk/dv out blocks map every tile index to block 0, so
-    the accumulator stays in VMEM for the whole bh row).
+    the accumulator stays in VMEM for the whole bh row). ``tile_axis`` is
+    the grid axis that walks q-tiles (1 for the (B*H, tiles) grid, 2 for
+    the packed (B, H, tiles) grid).
     """
-    i = pl.program_id(1)
+    i = pl.program_id(tile_axis)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -130,6 +133,134 @@ def _attention_bwd_kernel(
         probs, g, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = dk_t
+        dv_ref[0] = dv_t
+
+    @pl.when(i > 0)
+    def _accum():
+        dk_ref[0] += dk_t
+        dv_ref[0] += dv_t
+
+
+def _attention_kernel_packed(
+    q_ref, k_ref, v_ref, o_ref, *, scale, heads, head_dim, residual
+):
+    """One (b, q-tile) step over head-PACKED tokens (tile, H*c).
+
+    Processing all heads inside the kernel lets q/k/v/out keep the Dense
+    projection layout (B, L, H*c) — no (B, L, H, c)->(B, H, L, c)
+    transposes in HBM. Head slices at h*c offsets are lane-misaligned for
+    c=96, so per-head outputs are concatenated in registers and written
+    once as an aligned (tile, H*c) store. (BlockSpec-level head slicing
+    would align everything, but Mosaic requires the minor block dim to be
+    divisible by 128 or equal to the array dim — 96 is neither.)
+    """
+    q = q_ref[0]  # (tile_q, H*c)
+    k = k_ref[0]  # (Lk, H*c)
+    v = v_ref[0]
+    outs = []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q[:, sl]
+        scores = jax.lax.dot_general(
+            qh,
+            k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores * scale
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        probs = jnp.exp(scores)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            probs.astype(v.dtype),
+            v[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if residual:
+            out = out + qh.astype(jnp.float32)
+        outs.append(out.astype(o_ref.dtype))
+    o_ref[0] = outs[0] if heads == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _attention_bwd_kernel_packed(
+    q_ref,
+    k_ref,
+    v_ref,
+    g_ref,
+    dq_ref,
+    dk_ref,
+    dv_ref,
+    *,
+    scale,
+    heads,
+    head_dim,
+    residual,
+):
+    """Packed backward: per-head flash-style recompute; dk/dv accumulate in
+    a VMEM-resident (Lk, H*c) block across the sequential q-tile grid dim.
+    Like the forward, per-head results are concatenated in registers and
+    stored once per ref (aligned writes)."""
+    i = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q[:, sl]
+        kh = k[:, sl]
+        vh = v[:, sl]
+        gh = g[:, sl].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores * scale
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        probs = jnp.exp(scores)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+        vf = vh.astype(jnp.float32)
+        kf = kh.astype(jnp.float32)
+        qf = qh.astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            gh, vf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+        dq = (
+            jax.lax.dot_general(
+                ds, kf, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        if residual:
+            dq = dq + gh
+        dqs.append(dq.astype(dq_ref.dtype))
+
+        dks.append(
+            jax.lax.dot_general(
+                ds, qf, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        dvs.append(
+            jax.lax.dot_general(
+                probs, gh, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    dq_ref[0] = dqs[0] if heads == 1 else jnp.concatenate(dqs, axis=1)
+    dk_t = dks[0] if heads == 1 else jnp.concatenate(dks, axis=1)
+    dv_t = dvs[0] if heads == 1 else jnp.concatenate(dvs, axis=1)
 
     @pl.when(i == 0)
     def _init():
@@ -310,6 +441,180 @@ def _ad_bwd(scale, residual_pool, interpret, tile_q, res, g):
 
 
 pooled_attention_pallas_ad.defvjp(_ad_fwd, _ad_bwd)
+
+
+def pooled_attention_packed_pallas(
+    q,
+    k,
+    v,
+    num_heads,
+    scale,
+    residual_pool=False,
+    tile_q=_TILE_Q,
+    interpret=False,
+):
+    """q/k/v: (B, L, H*c) head-packed (the Dense projection layout).
+    Returns (B, L_q, H*c)."""
+    B, Lq, HC = q.shape
+    Lk = k.shape[1]
+    c = HC // num_heads
+    tile_q = min(tile_q, Lq)
+    grid = (B, pl.cdiv(Lq, tile_q))
+    q_spec = pl.BlockSpec(
+        (1, tile_q, HC), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, Lk, HC), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _attention_kernel_packed,
+            scale=scale,
+            heads=num_heads,
+            head_dim=c,
+            residual=residual_pool,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, HC), q.dtype),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        interpret=interpret,
+    )(q, k, v)
+
+
+def pooled_attention_packed_pallas_bwd(
+    q,
+    k,
+    v,
+    g,
+    num_heads,
+    scale,
+    residual_pool=False,
+    tile_q=_TILE_Q,
+    interpret=False,
+):
+    B, Lq, HC = q.shape
+    Lk = k.shape[1]
+    c = HC // num_heads
+    tile_q = min(tile_q, Lq)
+    # Pad L_q to the tile so ragged final-tile rows can't pollute the dk/dv
+    # accumulators (their g rows are zero => zero contribution).
+    qf = _pad_to(q, 1, tile_q)
+    gf = _pad_to(g, 1, tile_q)
+    Lq_pad = qf.shape[1]
+    grid = (B, Lq_pad // tile_q)
+    q_spec = pl.BlockSpec(
+        (1, tile_q, HC), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, Lk, HC), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _attention_bwd_kernel_packed,
+            scale=scale,
+            heads=num_heads,
+            head_dim=c,
+            residual=residual_pool,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lq_pad, HC), q.dtype),
+            jax.ShapeDtypeStruct((B, Lk, HC), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lk, HC), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=[q_spec, kv_spec, kv_spec],
+        interpret=interpret,
+    )(qf, k, v, gf)
+    return dq[:, :Lq], dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def pooled_attention_packed_ad(
+    q, k, v, num_heads, scale, residual_pool=False, tile_q=_TILE_Q,
+    interpret=False,
+):
+    """Differentiable packed-layout fused pooled attention."""
+    return pooled_attention_packed_pallas(
+        q, k, v, num_heads, scale, residual_pool, tile_q, interpret
+    )
+
+
+def _packed_ad_fwd(q, k, v, num_heads, scale, residual_pool, tile_q, interpret):
+    out = pooled_attention_packed_pallas(
+        q, k, v, num_heads, scale, residual_pool, tile_q, interpret
+    )
+    return out, (q, k, v)
+
+
+def _packed_ad_bwd(num_heads, scale, residual_pool, tile_q, interpret, res, g):
+    q, k, v = res
+    return pooled_attention_packed_pallas_bwd(
+        q, k, v, g, num_heads, scale, residual_pool, tile_q, interpret
+    )
+
+
+pooled_attention_packed_ad.defvjp(_packed_ad_fwd, _packed_ad_bwd)
+
+
+def pooled_attention_packed_xla(q, k, v, num_heads, scale, residual_pool=False):
+    """XLA path over packed (B, L, H*c) tokens (same math)."""
+    B, Lq, HC = q.shape
+    Lk = k.shape[1]
+    c = HC // num_heads
+    qh = q.reshape(B, Lq, num_heads, c)
+    kh = k.reshape(B, Lk, num_heads, c)
+    vh = v.reshape(B, Lk, num_heads, c)
+    attn = jnp.einsum(
+        "bqhc,bkhc->bhqk", qh * scale, kh, preferred_element_type=jnp.float32
+    )
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhc->bqhc", attn, vh).reshape(B, Lq, HC)
+    if residual_pool:
+        out = out + q
+    return out
+
+
+def pooled_attention_packed(
+    q,
+    k,
+    v,
+    num_heads: int,
+    scale,
+    residual_pool: bool = False,
+    use_pallas: Optional[bool] = None,
+):
+    """Packed-layout dispatch (tokens stay (B, L, H*c) end to end).
+
+    Same policy as :func:`pooled_attention`: Pallas on TPU for long
+    sequences, XLA otherwise; ``PVT_POOLED_ATTENTION`` overrides.
+    """
+    if use_pallas is None:
+        import os
+
+        mode = os.environ.get("PVT_POOLED_ATTENTION", "auto")
+        if mode == "pallas":
+            use_pallas = True
+        elif mode == "xla":
+            use_pallas = False
+        else:
+            # Measured v5e across the real MViT-B depth shapes (B16): the
+            # packed kernel at tile 512 beats the XLA einsum path at every
+            # depth incl. the short late blocks (Lq=393: 0.10 vs 0.15 ms
+            # micro; in-model the XLA path costs ~2.5 ms in unfused fp32
+            # softmax HBM traffic), so the threshold is only a floor for
+            # degenerate sequences.
+            use_pallas = (
+                _HAS_PALLAS
+                and jax.default_backend() == "tpu"
+                and q.shape[1] >= 128
+            )
+    if use_pallas:
+        return pooled_attention_packed_ad(
+            q, k, v, num_heads, scale, residual_pool, _TILE_Q
+        )
+    return pooled_attention_packed_xla(q, k, v, num_heads, scale, residual_pool)
 
 
 def pooled_attention_xla(q, k, v, scale, residual_pool=False):
