@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,6 +117,80 @@ def Conv3d(
         use_bias=bias,
         name=name,
     )
+
+
+class WBlockedConv(nn.Module):
+    """Conv3D with the minor spatial axis space-to-depth-blocked by its
+    stride (exact rewrite; parity-tested vs conv_general_dilated).
+
+    XLA:TPU runs tiny-C_in patch-embed convs far off the MXU roofline
+    (MViT-B stem k(3,7,7) s(2,4,4) C_in=3: 11.6 TF/s). Blocking W by the
+    stride turns (W, C) -> (W/s, s*C) with a PURE RESHAPE on both the
+    activation and the (zero-padded-to-s-multiple) kernel — no transpose
+    reaches HBM, unlike H/T blocking whose phase transposes cost more
+    than they save (measured 6.3/8.6 ms vs 5.0 baseline; W-only: 3.3 ms).
+
+    Parameter tree is identical to ``nn.Conv`` ("kernel" (kt,kh,kw,C,F),
+    "bias" (F,)) so checkpoint import and BN-fold passes are unaffected.
+    """
+
+    features: int
+    kernel_size: Size3
+    strides: Size3 = (1, 1, 1)
+    padding: Tuple[Tuple[int, int], ...] = ((0, 0), (0, 0), (0, 0))
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel_size
+        st, sh, sw = self.strides
+        (pt0, pt1), (ph0, ph1), (pw0, pw1) = self.padding
+        C = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.linear.default_kernel_init,
+            (kt, kh, kw, C, self.features),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        w = w.astype(x.dtype)
+        if sw > 1 and pw0 == pw1:
+            N = x.shape[3]
+            out_w = (N + 2 * pw0 - kw) // sw + 1
+            nblk = -(-kw // sw)
+            K = nblk * sw
+            L_pad = (out_w + nblk - 1) * sw
+            right = L_pad - pw0 - N
+            x = jnp.pad(
+                x, [(0, 0), (0, 0), (0, 0), (pw0, max(right, 0)), (0, 0)]
+            )
+            if right < 0:
+                x = x[:, :, :, :L_pad]
+            B, T, H = x.shape[:3]
+            x = x.reshape(B, T, H, L_pad // sw, sw * C)
+            w = jnp.pad(w, [(0, 0), (0, 0), (0, K - kw), (0, 0), (0, 0)])
+            w = w.reshape(kt, kh, nblk, sw * C, self.features)
+            out = jax.lax.conv_general_dilated(
+                x,
+                w,
+                window_strides=(st, sh, 1),
+                padding=[(pt0, pt1), (ph0, ph1), (0, 0)],
+                dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+            )
+        else:
+            out = jax.lax.conv_general_dilated(
+                x,
+                w,
+                window_strides=self.strides,
+                padding=list(self.padding),
+                dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+            )
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out
 
 
 _TRAIN_AWARE_CACHE: dict = {}

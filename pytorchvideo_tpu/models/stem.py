@@ -11,7 +11,13 @@ from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 
-from pytorchvideo_tpu.layers.common import Conv3d, apply_with_train
+from pytorchvideo_tpu.layers.common import (
+    Conv3d,
+    WBlockedConv,
+    apply_with_train,
+    pad_pairs,
+    triple,
+)
 from pytorchvideo_tpu.layers.convolutions import ConvReduce3D
 from pytorchvideo_tpu.layers.norms import BatchNorm, make_act, make_norm
 from pytorchvideo_tpu.layers.pooling import MaxPool3d
@@ -148,13 +154,32 @@ def create_conv_patch_embed(
     conv_bias: bool = True,
     conv: Callable = Conv3d,
 ) -> PatchEmbed:
-    """Conv patch-embed builder (reference stem.py:295-338)."""
-    conv_module = conv(
-        in_channels=in_channels,
-        out_channels=out_channels,
-        kernel_size=conv_kernel_size,
-        stride=conv_stride,
-        padding=conv_padding,
-        bias=conv_bias,
-    )
+    """Conv patch-embed builder (reference stem.py:295-338).
+
+    When the caller passes the default ``conv`` and the stem is a tiny-C_in
+    strided conv, the stride-blocked :class:`WBlockedConv` (identical param
+    tree, exact math) replaces ``nn.Conv`` — XLA:TPU runs the plain conv at
+    ~11 TF/s on such shapes; blocking W by the stride is ~1.5x faster.
+    """
+    if (
+        conv is Conv3d
+        and in_channels * triple(conv_stride)[2] <= 32
+        and triple(conv_stride)[2] > 1
+    ):
+        conv_module = WBlockedConv(
+            features=out_channels,
+            kernel_size=triple(conv_kernel_size),
+            strides=triple(conv_stride),
+            padding=pad_pairs(conv_padding),
+            use_bias=conv_bias,
+        )
+    else:
+        conv_module = conv(
+            in_channels=in_channels,
+            out_channels=out_channels,
+            kernel_size=conv_kernel_size,
+            stride=conv_stride,
+            padding=conv_padding,
+            bias=conv_bias,
+        )
     return PatchEmbed(patch_model=conv_module)
