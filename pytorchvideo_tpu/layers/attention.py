@@ -99,14 +99,17 @@ class TokenPool(nn.Module):
     head_groups: int = 1
 
     def _packed_call(self, x, thw: Size3, train: bool):
+        """Tuple path: x = (cls|None, grid (B, L, Hg*c)) — the cls token is
+        threaded separately (never sliced out of / concatenated onto the
+        grid, reference attention.py:162-212 does both per q/k/v per block:
+        measured ~5 ms/step of slice+copy choreography at MViT-B b16).
+        Returns ((cls', grid'), thw')."""
         kernel = triple(self.kernel)
         stride = triple(self.stride)
         padding = tuple(k // 2 for k in kernel)
         Hg = self.head_groups
 
-        cls_tok = None
-        if self.has_cls_embed:
-            cls_tok, x = x[:, :1], x[:, 1:]
+        cls_tok, x = x
         B, L, HC = x.shape
         c = HC // Hg
         T, Hh, W = thw
@@ -116,7 +119,9 @@ class TokenPool(nn.Module):
         norm_before = norm is not None and norm_is_batchnorm(self.norm_layer)
         if norm_before:
             # BN stats/params are per head-channel (c,), shared across heads:
-            # expose the head axis so the feature axis is c.
+            # expose the head axis so the feature axis is c. The cls token is
+            # untouched in BN mode (reference attention.py:193-197 norms the
+            # grid tensor only, pre-pool).
             g6 = grid.reshape(B, T, Hh, W, Hg, c)
             g6 = norm(g6, train=train)
             grid = jax.nn.gelu(g6).reshape(B, T, Hh, W, HC)
@@ -143,18 +148,21 @@ class TokenPool(nn.Module):
 
         thw_out = grid.shape[1:4]
         x = grid.reshape(B, thw_out[0] * thw_out[1] * thw_out[2], HC)
-        if cls_tok is not None:
-            x = jnp.concatenate([cls_tok, x], axis=1)
         if norm is not None and not norm_before:
-            B2, L2, _ = x.shape
-            x = norm(x.reshape(B2, L2, Hg, c), train=train).reshape(B2, L2, HC)
-        return x, tuple(thw_out)
+            # LN post-pool is per-token: applying it to cls and grid
+            # separately is exactly the reference's LN over [cls; grid].
+            x = norm(x.reshape(B, -1, Hg, c), train=train).reshape(B, -1, HC)
+            if cls_tok is not None:
+                cls_tok = norm(
+                    cls_tok.reshape(B, 1, Hg, c), train=train
+                ).reshape(B, 1, HC)
+        return (cls_tok, x), tuple(thw_out)
 
     @nn.compact
     def __call__(self, x, thw: Size3, train: bool = False):
         if self.pool_mode is None or self.kernel is None:
             return x, thw
-        if x.ndim == 3 and self.head_groups > 1:
+        if isinstance(x, tuple):
             return self._packed_call(x, thw, train)
         kernel = triple(self.kernel)
         stride = triple(self.stride)
@@ -295,7 +303,20 @@ class MultiScaleAttention(nn.Module):
     @nn.compact
     def __call__(self, x, thw: Size3, train: bool = False):
         assert self.pool_mode in ("conv", "avg", "max")
-        B, L, C = x.shape
+        is_tuple = isinstance(x, tuple)
+        if self.pool_first:
+            # Legacy per-head layout path; fold a split input back together.
+            if is_tuple:
+                cls_in, grid_in = x
+                x = (
+                    grid_in
+                    if cls_in is None
+                    else jnp.concatenate([cls_in, grid_in], axis=1)
+                )
+        elif not is_tuple:
+            # Main path always runs split: slice cls once here instead of
+            # inside every TokenPool.
+            x = (x[:, :1], x[:, 1:]) if self.has_cls_embed else (None, x)
         kq = _maybe_kernel(self.kernel_q, self.stride_q)
         kkv = _maybe_kernel(self.kernel_kv, self.stride_kv)
         conv_norm = self.norm_layer if self.pool_mode == "conv" else None
@@ -314,6 +335,7 @@ class MultiScaleAttention(nn.Module):
 
         if self.pool_first:
             # Pool raw per-head tokens first, then project (attention.py:511-517).
+            B, L, C = x.shape
             heads = self._split_heads(x, self.num_heads)
             q, q_thw = pool("pool_q", kq, self.stride_q)(heads, thw, train)
             k, k_thw = pool("pool_k", kkv, self.stride_kv)(heads, thw, train)
@@ -337,6 +359,18 @@ class MultiScaleAttention(nn.Module):
                 self.num_heads,
             )
         else:
+            # Head-PACKED split path: tokens stay (B, L, H*c) — the Dense
+            # projection layout — through pooling and attention (no per-head
+            # (B,L,H,c)->(B,H,L,c) transposes reach HBM; measured ~11.5
+            # ms/step of pure layout copies at MViT-B b16 otherwise), and
+            # the cls token is threaded separately so no per-pool slicing
+            # or concatenation touches the long grid axis.
+            cls_x, grid_x = x
+            C = grid_x.shape[-1]
+
+            def _apply_pair(fn):
+                return (None if cls_x is None else fn(cls_x), fn(grid_x))
+
             if self.separate_qkv:
                 # Separate q/k/v params (reference layout). PVT_FUSED_QKV=1
                 # computes all three projections as one (C, 3*dim_out) GEMM —
@@ -352,36 +386,53 @@ class MultiScaleAttention(nn.Module):
                 wv, bv = _ProjParams(self.dim_out, self.qkv_bias, name="v")(C)
                 d = self.dim_out
                 if _os.environ.get("PVT_FUSED_QKV", "0") == "1":
-                    w = jnp.concatenate([wq, wk, wv], axis=1).astype(x.dtype)
-                    y = x @ w
-                    if self.qkv_bias:
-                        y = y + jnp.concatenate([bq, bk, bv]).astype(y.dtype)
-                    q_, k_, v_ = y[..., :d], y[..., d : 2 * d], y[..., 2 * d :]
+                    w = jnp.concatenate([wq, wk, wv], axis=1)
+                    bcat = (
+                        jnp.concatenate([bq, bk, bv]) if self.qkv_bias else None
+                    )
+
+                    def _fused(a):
+                        y = a @ w.astype(a.dtype)
+                        if bcat is not None:
+                            y = y + bcat.astype(y.dtype)
+                        return y
+
+                    qkv_pair = _apply_pair(_fused)
+                    q_, k_, v_ = (
+                        tuple(
+                            None if p is None else p[..., i * d : (i + 1) * d]
+                            for p in qkv_pair
+                        )
+                        for i in range(3)
+                    )
                 else:
+
                     def _proj(wa, ba):
-                        out = x @ wa.astype(x.dtype)
-                        if ba is not None:
-                            out = out + ba.astype(out.dtype)
-                        return out
+                        def f(a):
+                            out = a @ wa.astype(a.dtype)
+                            if ba is not None:
+                                out = out + ba.astype(out.dtype)
+                            return out
+
+                        return _apply_pair(f)
 
                     q_, k_, v_ = _proj(wq, bq), _proj(wk, bk), _proj(wv, bv)
             else:
-                qkv = nn.Dense(
+                qkv_mod = nn.Dense(
                     self.dim_out * 3, use_bias=self.qkv_bias, name="qkv"
-                )(x)
+                )
                 # Reference channel order within the fused projection is
                 # (3, heads, head_dim) major-to-minor, so each third IS the
                 # head-packed layout.
                 d = self.dim_out
+                qkv_pair = _apply_pair(qkv_mod)
                 q_, k_, v_ = (
-                    qkv[..., :d],
-                    qkv[..., d : 2 * d],
-                    qkv[..., 2 * d :],
+                    tuple(
+                        None if p is None else p[..., i * d : (i + 1) * d]
+                        for p in qkv_pair
+                    )
+                    for i in range(3)
                 )
-            # Head-PACKED path: tokens stay (B, L, H*c) — the Dense output
-            # layout — through pooling and attention; no per-head
-            # (B,L,H,c)->(B,H,L,c) transposes reach HBM (measured ~11.5
-            # ms/step of pure layout copies at MViT-B b16 otherwise).
             q, q_thw = pool(
                 "pool_q", kq, self.stride_q, head_groups=self.num_heads
             )(q_, thw, train)
@@ -398,19 +449,72 @@ class MultiScaleAttention(nn.Module):
                 pooled_attention_packed_xla,
             )
 
-            if not self.is_initializing():
-                out = pooled_attention_packed(
-                    q, k, v, self.num_heads, head_dim**-0.5, self.residual_pool
-                )
-            else:
+            cls_q, grid_q = q
+            # Keys/values DO need the cls row in front (every query attends
+            # to it) — but only at the POOLED length, a tiny concat.
+            cls_k, grid_k = k
+            cls_v, grid_v = v
+            k_full = (
+                grid_k
+                if cls_k is None
+                else jnp.concatenate([cls_k, grid_k], axis=1)
+            )
+            v_full = (
+                grid_v
+                if cls_v is None
+                else jnp.concatenate([cls_v, grid_v], axis=1)
+            )
+
+            attn_fn = (
+                pooled_attention_packed_xla
                 # Init often runs host-side under jax.default_device(cpu),
                 # where pallas can't lower.
-                out = pooled_attention_packed_xla(
-                    q, k, v, self.num_heads, head_dim**-0.5, self.residual_pool
+                if self.is_initializing()
+                else pooled_attention_packed
+            )
+            grid_out = attn_fn(
+                grid_q,
+                k_full,
+                v_full,
+                self.num_heads,
+                head_dim**-0.5,
+                self.residual_pool,
+            )
+            cls_out = (
+                None
+                if cls_q is None
+                # Single-row query: the XLA einsum path is free (and the
+                # Pallas dispatch floor routes it there anyway).
+                else pooled_attention_packed_xla(
+                    cls_q,
+                    k_full,
+                    v_full,
+                    self.num_heads,
+                    head_dim**-0.5,
+                    self.residual_pool,
                 )
-            out = nn.Dense(self.dim_out, use_bias=self.bias_on, name="proj")(out)
-            if self.dropout_rate > 0.0:
-                out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
+            )
+
+            proj = nn.Dense(self.dim_out, use_bias=self.bias_on, name="proj")
+            drop = (
+                nn.Dropout(self.dropout_rate, deterministic=not train)
+                if self.dropout_rate > 0.0
+                else None
+            )
+
+            def _out(a):
+                a = proj(a)
+                return drop(a) if drop is not None else a
+
+            cls_out = None if cls_out is None else _out(cls_out)
+            grid_out = _out(grid_out)
+            if is_tuple:
+                return (cls_out, grid_out), q_thw
+            out = (
+                grid_out
+                if cls_out is None
+                else jnp.concatenate([cls_out, grid_out], axis=1)
+            )
             return out, q_thw
 
         # pool_first: per-head layout (pool raw tokens, then project).
@@ -458,11 +562,40 @@ class MultiScaleBlock(nn.Module):
     bias_on: bool = True
     separate_qkv: bool = True
 
+    def _drop_path_pair(self, pair, train: bool):
+        """One shared per-sample mask over both halves of a (cls, grid)
+        pair — two independent DropPath calls would drop the cls token and
+        its grid inconsistently within the same residual branch."""
+        cls_x, grid_x = pair
+        if self.droppath_rate == 0.0 or not train:
+            return pair
+        keep = 1.0 - self.droppath_rate
+        mask = jax.random.bernoulli(
+            self.make_rng("dropout"), keep, (grid_x.shape[0], 1, 1)
+        )
+        scale = jnp.where(mask, 1.0 / keep, 0.0).astype(grid_x.dtype)
+        return (
+            None if cls_x is None else cls_x * scale,
+            grid_x * scale,
+        )
+
     @nn.compact
     def __call__(self, x, thw: Size3, train: bool = False):
         att_dim = self.dim_out if self.dim_mul_in_att else self.dim
+        is_tuple = isinstance(x, tuple)
+        if not is_tuple and not self.pool_first:
+            # Run the block split (cls threaded separately); fold back at
+            # the end so the array-in/array-out interface is unchanged.
+            x = (x[:, :1], x[:, 1:]) if self.has_cls_embed else (None, x)
+        split = isinstance(x, tuple)
 
-        x_norm = self.norm_layer(name="norm1")(x, train=train)
+        def _pair(fn, p):
+            if not split:
+                return fn(p)
+            return (None if p[0] is None else fn(p[0]), fn(p[1]))
+
+        norm1 = self.norm_layer(name="norm1")
+        x_norm = _pair(lambda a: norm1(a, train=train), x)
         x_block, thw_new = MultiScaleAttention(
             dim_out=att_dim,
             num_heads=self.num_heads,
@@ -482,10 +615,18 @@ class MultiScaleBlock(nn.Module):
             separate_qkv=self.separate_qkv,
             name="attn",
         )(x_norm, thw, train)
+        if split and not isinstance(x_block, tuple):
+            # pool_first attention returns an array even for tuple input.
+            x_block = (
+                (x_block[:, :1], x_block[:, 1:])
+                if self.has_cls_embed
+                else (None, x_block)
+            )
 
         needs_proj = self.dim != self.dim_out
         if self.dim_mul_in_att and needs_proj:
-            x = nn.Dense(self.dim_out, use_bias=self.bias_on, name="proj")(x_norm)
+            proj_att = nn.Dense(self.dim_out, use_bias=self.bias_on, name="proj")
+            x = _pair(proj_att, x_norm)
 
         # Residual-path pooling: maxpool with kernel s+1 (s>1), stride s
         # (reference attention.py:680-683, 746).
@@ -503,19 +644,40 @@ class MultiScaleBlock(nn.Module):
         else:
             x_res = x
 
-        drop_path = DropPath(self.droppath_rate)
-        x = x_res + drop_path(x_block, train=train)
+        if split:
+            dp_block = self._drop_path_pair(x_block, train)
+            x = (
+                None
+                if x_res[0] is None
+                else x_res[0] + dp_block[0],
+                x_res[1] + dp_block[1],
+            )
+        else:
+            x = x_res + DropPath(self.droppath_rate)(x_block, train=train)
 
-        x_norm = self.norm_layer(name="norm2")(x, train=train)
-        x_mlp = Mlp(
+        norm2 = self.norm_layer(name="norm2")
+        x_norm = _pair(lambda a: norm2(a, train=train), x)
+        mlp = Mlp(
             hidden_features=int(att_dim * self.mlp_ratio),
             out_features=self.dim_out,
             act_layer=self.act_layer,
             dropout_rate=self.dropout_rate,
             bias_on=self.bias_on,
             name="mlp",
-        )(x_norm, train=train)
+        )
+        x_mlp = _pair(lambda a: mlp(a, train=train), x_norm)
         if not self.dim_mul_in_att and needs_proj:
-            x = nn.Dense(self.dim_out, use_bias=self.bias_on, name="proj")(x_norm)
-        x = x + drop_path(x_mlp, train=train)
+            proj_mlp = nn.Dense(self.dim_out, use_bias=self.bias_on, name="proj")
+            x = _pair(proj_mlp, x_norm)
+        if split:
+            dp_mlp = self._drop_path_pair(x_mlp, train)
+            x = (
+                None if x[0] is None else x[0] + dp_mlp[0],
+                x[1] + dp_mlp[1],
+            )
+        else:
+            x = x + DropPath(self.droppath_rate)(x_mlp, train=train)
+
+        if split and not is_tuple:
+            x = x[1] if x[0] is None else jnp.concatenate([x[0], x[1]], axis=1)
         return x, thw_new

@@ -13,6 +13,7 @@ from functools import partial
 from typing import Callable, List, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
+import jax.numpy as jnp
 import numpy as np
 
 from pytorchvideo_tpu.layers.attention import MultiScaleBlock
@@ -44,9 +45,22 @@ class MultiscaleVisionTransformers(nn.Module):
         if self.pos_dropout_rate > 0.0:
             x = nn.Dropout(self.pos_dropout_rate, deterministic=not train)(x)
 
+        # Thread the cls token separately from the token grid through the
+        # whole block stack: one split here, one concat at the end, instead
+        # of per-block / per-pool slice+concat copies over the long token
+        # axis (the blocks accept either form; see MultiScaleBlock).
+        has_cls = getattr(self.cls_positional_encoding, "has_cls", False)
+        x = (x[:, :1], x[:, 1:]) if has_cls else (None, x)
+
         thw = tuple(self.patch_embed_shape)
         for blk in self.blocks:
             x, thw = blk(x, thw, train=train)
+        cls_x, grid_x = x
+        x = (
+            grid_x
+            if cls_x is None
+            else jnp.concatenate([cls_x, grid_x], axis=1)
+        )
         if self.norm_embed is not None:
             x = self.norm_embed(x, train=train)
         if self.head is not None:
