@@ -157,27 +157,40 @@ class WBlockedConv(nn.Module):
             else None
         )
         w = w.astype(x.dtype)
+        wblock_plan = None
         if sw > 1 and pw0 == pw1:
+            # Embed the kernel at a phase offset so the LEFT pad becomes
+            # whole-block conv padding (no materialized input pad): output
+            # j reads padded positions [j*sw - p, j*sw - p + kw); with
+            # Lb = ceil(p/sw) zero blocks in front and the kernel shifted
+            # by offset = Lb*sw - p, the same window is blocks
+            # [j - Lb, j - Lb + nblk). When W % sw == 0 (every 224/160-crop
+            # stem) the activation is reshaped with ZERO data movement.
             N = x.shape[3]
             out_w = (N + 2 * pw0 - kw) // sw + 1
-            nblk = -(-kw // sw)
+            Lb = -(-pw0 // sw)
+            offset = Lb * sw - pw0
+            nblk = -(-(offset + kw) // sw)
             K = nblk * sw
-            L_pad = (out_w + nblk - 1) * sw
-            right = L_pad - pw0 - N
-            x = jnp.pad(
-                x, [(0, 0), (0, 0), (0, 0), (pw0, max(right, 0)), (0, 0)]
-            )
-            if right < 0:
-                x = x[:, :, :, :L_pad]
+            r = (-N) % sw
+            Rb = out_w - 1 + nblk - (N + r) // sw - Lb
+            if Rb >= 0:
+                wblock_plan = (N, out_w, Lb, offset, nblk, K, r, Rb)
+        if wblock_plan is not None:
+            N, out_w, Lb, offset, nblk, K, r, Rb = wblock_plan
+            if r:
+                x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, r), (0, 0)])
             B, T, H = x.shape[:3]
-            x = x.reshape(B, T, H, L_pad // sw, sw * C)
-            w = jnp.pad(w, [(0, 0), (0, 0), (0, K - kw), (0, 0), (0, 0)])
+            x = x.reshape(B, T, H, (N + r) // sw, sw * C)
+            w = jnp.pad(
+                w, [(0, 0), (0, 0), (offset, K - offset - kw), (0, 0), (0, 0)]
+            )
             w = w.reshape(kt, kh, nblk, sw * C, self.features)
             out = jax.lax.conv_general_dilated(
                 x,
                 w,
                 window_strides=(st, sh, 1),
-                padding=[(pt0, pt1), (ph0, ph1), (0, 0)],
+                padding=[(pt0, pt1), (ph0, ph1), (Lb, Rb)],
                 dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
             )
         else:

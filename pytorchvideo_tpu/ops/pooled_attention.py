@@ -611,8 +611,12 @@ def pooled_attention_packed(
                 and q.shape[1] >= 128
             )
     if use_pallas:
+        # Long-Lk blocks (late MViT depths attend 392 q to 1569 kv) push the
+        # per-head fp32 probs/accumulators past the 16 MB scoped-VMEM stack
+        # at tile 512 — halve the q-tile there.
+        tile_q = _TILE_Q if k.shape[1] <= 1024 else 256
         return pooled_attention_packed_ad(
-            q, k, v, num_heads, scale, residual_pool, _TILE_Q
+            q, k, v, num_heads, scale, residual_pool, tile_q
         )
     return pooled_attention_packed_xla(q, k, v, num_heads, scale, residual_pool)
 
