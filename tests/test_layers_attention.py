@@ -151,3 +151,52 @@ def test_pool_first_mode_runs():
     params = attn.init(jax.random.PRNGKey(0), x, (4, 8, 8), False)
     out, thw = attn.apply(params, x, (4, 8, 8), False)
     assert out.shape == (2, 1 + 4 * 4 * 4, 64)
+
+
+def test_block_tuple_input_matches_array_input():
+    """The model threads (cls, grid) pairs through blocks; a tuple-in run
+    must be numerically identical to the array-in run (same params)."""
+    block = MultiScaleBlock(
+        dim=32,
+        dim_out=64,
+        num_heads=2,
+        stride_q=(1, 2, 2),
+        stride_kv=(1, 2, 2),
+        kernel_q=(3, 3, 3),
+        kernel_kv=(3, 3, 3),
+        residual_pool=True,
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 1 + 4 * 8 * 8, 32)), jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x, (4, 8, 8), False)
+    out_a, thw_a = block.apply(params, x, (4, 8, 8), False)
+    (cls_o, grid_o), thw_t = block.apply(
+        params, (x[:, :1], x[:, 1:]), (4, 8, 8), False
+    )
+    out_t = jnp.concatenate([cls_o, grid_o], axis=1)
+    assert tuple(thw_a) == tuple(thw_t)
+    np.testing.assert_allclose(
+        np.asarray(out_a), np.asarray(out_t), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_block_no_cls_tuple_matches_array():
+    block = MultiScaleBlock(
+        dim=32,
+        dim_out=32,
+        num_heads=2,
+        stride_q=(1, 2, 2),
+        stride_kv=(1, 2, 2),
+        kernel_q=(3, 3, 3),
+        kernel_kv=(3, 3, 3),
+        has_cls_embed=False,
+    )
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 4 * 8 * 8, 32)), jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x, (4, 8, 8), False)
+    out_a, _ = block.apply(params, x, (4, 8, 8), False)
+    (cls_o, grid_o), _ = block.apply(params, (None, x), (4, 8, 8), False)
+    assert cls_o is None
+    np.testing.assert_allclose(
+        np.asarray(out_a), np.asarray(grid_o), rtol=1e-5, atol=1e-5
+    )
