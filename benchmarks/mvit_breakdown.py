@@ -5,18 +5,43 @@ Times the full model, then variants with one component knocked out
 component. Shapes change if pooling is removed, so pool ablation swaps
 conv->avg (same output shape, near-zero cost) rather than removing it.
 
-Measured v5e, batch 16 bf16 (2026-08): base 53.4 ms/batch ->
-attention core 13.9 ms (Pallas kernel + pad/unpad; standalone kernel sum
-across real depth shapes is ~8.6 ms at 40-70 TF/s, the rest is padding
-copies), k/v projection+pool chain ~18.9 ms by ablation (NOTE: isolated
-microbenches of the same chain cost only ~3-6 ms total — per-head vs
-full-channel depthwise layouts measure identical — so a chunk of this
-delta is cross-variant compile/fusion variance, not a single hot op),
-MLP fc1+act 6.3 ms, pool-conv taps 0.5 ms. Remaining ~14 ms: q chain,
-out-proj, LNs, patch embed, head. Conclusion: no single dominant
-op remains; further gains need HLO-level profiling (xprof), not kernel
-swaps. Kernel q-tile dispatch tuned from the depth-shape microbench
-(ops/pooled_attention.py).
+ROUND-2 STATUS (v5e, batch 16 bf16): 323 -> 367 clips/s (43.6 ms/batch)
+via, in order: head-packed attention layout (+ lane-aligned concat-write
+kernel, Pallas at every depth incl. the short late blocks), W-stride-
+blocked patch embed (2.9 -> 1.7 ms), and cls-token/grid split threading
+(~5 ms of slice+copy choreography removed). HLO-trace roofline of what
+REMAINS (fori_loop graph, trace attribution; see /tmp-style scripts in
+the repo history):
+
+  GEMMs (qkv/proj/fc1/fc2 + patch conv)  ~15 ms at 45-90 TF/s each —
+      individual GEMMs are at or near the achievable tile efficiency for
+      their (L, 96-multiple) shapes; fc2 (1536->384, L 1569) hits 84 TF/s.
+  Pallas attention kernels                ~6.5 ms; exact-shape micros run
+      0.95/0.56/0.33/0.34 ms at 46-89 TF/s (kv fits VMEM; the kernel is
+      MXU-bound at head_dim 96 -> 128-lane padding caps it at ~0.75x).
+  Pool convs + fused neighbors            ~8.9 ms attributed, BUT the conv
+      op standalone is 0.04-0.5 ms/shape; the bucket is mostly fused
+      producer work (LN/GELU) plus the layout problem below.
+  Layout copies                           ~11 ms. Root cause: XLA:TPU's
+      grouped-conv layout assignment wants (C-minor, B-second) for the
+      depthwise pool convs while Dense outputs and pallas_call operands
+      are row-major {2,1,0}; XLA inserts {1,2,0}->{2,0,1} relayouts of the
+      25k-token tensors around every early-block pool (3 x 0.62 ms at
+      block 1 alone) plus the patch-conv input relayout (1.2 ms).
+
+Dead ends measured so far (do not re-try blindly):
+  - optimization_barrier around pool convs: 367 -> 291 clips/s (the
+    "slow" conv fusions contain real producer work).
+  - 27-tap strided-slice multiply-add pooling: faults the TPU worker
+    (XLA:TPU bug), and was 25x slower where it did run (pool_micro.py).
+  - Pallas depthwise conv (ops/depthwise_conv.py): 2-3x slower than
+    XLA's windowed scheduling at every measured shape.
+  - PVT_POOLED_ATTENTION=xla end to end: 252 clips/s (fp32 softmax HBM
+    traffic dwarfs the pallas boundary-layout cost).
+  - Batch 32: 350 clips/s (b16 is the per-chip optimum).
+The remaining structural fix is owning the whole block in one Pallas
+kernel (GEMM+LN+pool+attention) so no XLA layout boundary exists —
+a mega-kernel project, not an incremental swap.
 """
 
 import json
