@@ -129,16 +129,36 @@ class TokenPool(nn.Module):
         if self.pool_mode == "conv":
             in_pg = 1 if self.depthwise_conv else c
             w = _PoolConvParams(kernel, in_pg, c, name="pool")()
-            w = jnp.tile(w, (1, 1, 1, 1, Hg)).astype(grid.dtype)
-            groups = HC if self.depthwise_conv else Hg
-            grid = jax.lax.conv_general_dilated(
-                grid,
-                w,
-                window_strides=stride,
-                padding=[(p, p) for p in padding],
-                dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
-                feature_group_count=groups,
-            )
+            if self.depthwise_conv:
+                # Depthwise pool through the Pallas token-pool kernel: the
+                # conv runs directly on the row-major packed layout, so no
+                # grouped-conv relayout copies bracket it (ops/token_pool.py).
+                from pytorchvideo_tpu.ops.token_pool import (
+                    depthwise_token_pool,
+                )
+
+                w_packed = jnp.tile(w[..., 0, :], (1, 1, 1, Hg)).astype(
+                    grid.dtype
+                )
+                grid = depthwise_token_pool(
+                    grid,
+                    w_packed,
+                    stride,
+                    padding,
+                    # Init often runs host-side under jax.default_device(cpu),
+                    # where pallas can't lower.
+                    use_pallas=False if self.is_initializing() else None,
+                )
+            else:
+                w = jnp.tile(w, (1, 1, 1, 1, Hg)).astype(grid.dtype)
+                grid = jax.lax.conv_general_dilated(
+                    grid,
+                    w,
+                    window_strides=stride,
+                    padding=[(p, p) for p in padding],
+                    dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+                    feature_group_count=Hg,
+                )
         elif self.pool_mode == "max":
             grid = max_pool3d(grid, kernel, stride, padding)
         elif self.pool_mode == "avg":

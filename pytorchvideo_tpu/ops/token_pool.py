@@ -1,0 +1,254 @@
+"""Depthwise token-pool kernel (Pallas/TPU) with XLA fallback.
+
+MViT pools q/k/v tokens through their (T, H, W) geometry with a depthwise
+3x3x3 strided conv (reference pytorchvideo/layers/attention.py:117-212).
+XLA:TPU's grouped-conv layout assignment picks a channel-minor operand
+layout for ``feature_group_count=C`` convs, so every pool in the row-major
+(B, L, H*c) packed token path gets bracketed by relayout copies of the
+full-resolution token tensor (~0.62 ms each for the 25k-token early blocks
+at MViT-B b16 — the single largest non-roofline bucket in the round-2 HLO
+trace, ~11 ms/step total; see benchmarks/mvit_breakdown.py).
+
+This kernel computes the same conv directly on the row-major layout, so no
+layout boundary exists between the qkv GEMMs, the pool, and the packed
+attention kernel:
+
+- Grid ``(B, T_out)``. The T receptive field (kernel 3, stride 1, pad 1 in
+  the flagship configs) is covered by passing x once per T-tap with a
+  clamped index map; out-of-range taps are masked by zeroing their weight.
+- Each invocation loads kt planes (H, W, C), zero-pads H/W by the conv
+  padding in VMEM, and accumulates the kh*kw strided-slice taps times the
+  per-channel weight row in f32 — a pure VPU loop; channels stay on lanes.
+- Backward (training) routes through ``jax.vjp`` of the XLA conv (the tap
+  math is linear in both operands, so the primal conv is dead code and XLA
+  DCEs it; only the transposed convs run).
+
+Supported geometry: odd kernels with pad = k//2 per axis and T-kernel
+covered by the tap refs (kt <= 3). Everything else falls back to the XLA
+grouped conv. ``PVT_TOKEN_POOL`` = ``pallas`` | ``xla`` | ``auto`` picks
+the path (auto = Pallas on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas import kept optional: CPU test envs use interpret mode
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+Size3 = Tuple[int, int, int]
+
+
+def _xla_depthwise_pool(x, w_packed, stride: Size3, padding: Size3):
+    """Reference path: grouped conv on (B, T, H, W, C); w_packed (kt,kh,kw,C)."""
+    return jax.lax.conv_general_dilated(
+        x,
+        w_packed[..., None, :],
+        window_strides=stride,
+        padding=[(p, p) for p in padding],
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+        feature_group_count=x.shape[-1],
+    )
+
+
+def _pool_kernel(
+    *refs,
+    kt: int,
+    kh: int,
+    kw: int,
+    stride_t: int,
+    stride_h: int,
+    stride_w: int,
+    pad_t: int,
+    pad_h: int,
+    pad_w: int,
+    t_in: int,
+    h_out: int,
+    w_out: int,
+):
+    """One (b, t_out) step: depthwise conv of kt input planes -> one output
+    plane. refs = (x_tap_0 .. x_tap_{kt-1}, w, out)."""
+    x_refs = refs[:kt]
+    w_ref = refs[kt]
+    o_ref = refs[kt + 1]
+    t_out = pl.program_id(1)
+    acc = jnp.zeros((h_out, w_out, o_ref.shape[-1]), jnp.float32)
+    for dt in range(kt):
+        plane = x_refs[dt][0, 0]  # (H, W, C)
+        if pad_t > 0:
+            # The index map clamps the tap's source row into range; a tap
+            # that falls in the zero-pad region contributes nothing, which
+            # is enforced by zeroing its weight row.
+            t_src = stride_t * t_out + dt - pad_t
+            valid = jnp.logical_and(t_src >= 0, t_src < t_in)
+        else:
+            valid = None
+        if pad_h or pad_w:
+            plane = jnp.pad(
+                plane, ((pad_h, pad_h), (pad_w, pad_w), (0, 0))
+            )
+        for dh in range(kh):
+            for dw in range(kw):
+                tap = jax.lax.slice(
+                    plane,
+                    (dh, dw, 0),
+                    (
+                        dh + stride_h * (h_out - 1) + 1,
+                        dw + stride_w * (w_out - 1) + 1,
+                        plane.shape[-1],
+                    ),
+                    (stride_h, stride_w, 1),
+                )
+                w_row = w_ref[dt * kh * kw + dh * kw + dw].astype(jnp.float32)
+                if valid is not None:
+                    w_row = jnp.where(valid, w_row, 0.0)
+                acc = acc + tap.astype(jnp.float32) * w_row
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+def pool_out_size(d: int, k: int, s: int, p: int) -> int:
+    return (d + 2 * p - k) // s + 1
+
+
+def _supported(kernel: Size3, stride: Size3, padding: Size3) -> bool:
+    kt, kh, kw = kernel
+    return (
+        kt in (1, 2, 3)
+        and 1 <= kh <= 5
+        and 1 <= kw <= 5
+        and all(p == k // 2 for k, p in zip(kernel, padding))
+    )
+
+
+def depthwise_token_pool_pallas(
+    x: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    stride: Size3,
+    padding: Size3,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x: (B, T, H, W, C) row-major; w_packed: (kt, kh, kw, C) depthwise
+    weights (already head-tiled). Returns (B, T', H', W', C)."""
+    B, T, H, W, C = x.shape
+    kt, kh, kw, _ = w_packed.shape
+    st, sh, sw = stride
+    pt, ph, pw = padding
+    T2 = pool_out_size(T, kt, st, pt)
+    H2 = pool_out_size(H, kh, sh, ph)
+    W2 = pool_out_size(W, kw, sw, pw)
+
+    w_flat = w_packed.reshape(kt * kh * kw, C)
+
+    kernel = functools.partial(
+        _pool_kernel,
+        kt=kt,
+        kh=kh,
+        kw=kw,
+        stride_t=st,
+        stride_h=sh,
+        stride_w=sw,
+        pad_t=pt,
+        pad_h=ph,
+        pad_w=pw,
+        t_in=T,
+        h_out=H2,
+        w_out=W2,
+    )
+
+    def tap_spec(dt):
+        def index_map(b, t):
+            src = st * t + dt - pt
+            src = jnp.clip(src, 0, T - 1)
+            return (b, src, 0, 0, 0)
+
+        return pl.BlockSpec(
+            (1, 1, H, W, C), index_map, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [tap_spec(dt) for dt in range(kt)]
+    in_specs.append(
+        pl.BlockSpec(
+            (kt * kh * kw, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+        )
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T2, H2, W2, C), x.dtype),
+        grid=(B, T2),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, H2, W2, C), lambda b, t: (b, t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(*([x] * kt + [w_flat]))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _token_pool_ad(x, w_packed, stride, padding, interpret):
+    return depthwise_token_pool_pallas(x, w_packed, stride, padding, interpret)
+
+
+def _token_pool_fwd(x, w_packed, stride, padding, interpret):
+    out = depthwise_token_pool_pallas(x, w_packed, stride, padding, interpret)
+    return out, (x, w_packed)
+
+
+def _token_pool_bwd(stride, padding, interpret, res, g):
+    x, w_packed = res
+    # The conv is linear in (x, w): the primal conv inside vjp is dead code
+    # (XLA DCEs it); only the transposed convs execute.
+    _, vjp = jax.vjp(
+        lambda a, b: _xla_depthwise_pool(a, b, stride, padding), x, w_packed
+    )
+    return vjp(g)
+
+
+_token_pool_ad.defvjp(_token_pool_fwd, _token_pool_bwd)
+
+
+def depthwise_token_pool(
+    x: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    stride: Size3,
+    padding: Size3,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Depthwise-conv pooling of a (B, T, H, W, C) token grid.
+
+    Dispatch mirrors ops.pooled_attention: Pallas on TPU (keeps the packed
+    token path layout-boundary-free), XLA grouped conv otherwise;
+    ``PVT_TOKEN_POOL`` = ``pallas`` | ``xla`` | ``auto`` overrides.
+    """
+    kernel = tuple(w_packed.shape[:3])
+    if use_pallas is None:
+        mode = os.environ.get("PVT_TOKEN_POOL", "auto")
+        if mode == "pallas":
+            use_pallas = True
+        elif mode == "xla":
+            use_pallas = False
+        else:
+            use_pallas = (
+                _HAS_PALLAS
+                and jax.default_backend() == "tpu"
+                and _supported(kernel, stride, padding)
+            )
+    if use_pallas:
+        if not _supported(kernel, stride, padding):
+            raise NotImplementedError(
+                f"token-pool kernel supports odd k<=5 (kt<=3) with p=k//2; "
+                f"got kernel={kernel} padding={padding}"
+            )
+        return _token_pool_ad(x, w_packed, stride, padding, False)
+    return _xla_depthwise_pool(x, w_packed, stride, padding)

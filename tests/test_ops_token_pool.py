@@ -1,0 +1,74 @@
+"""Pallas depthwise token-pool kernel: interpret-mode parity vs XLA conv."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorchvideo_tpu.ops.token_pool import (
+    _token_pool_ad,
+    _xla_depthwise_pool,
+    depthwise_token_pool,
+    depthwise_token_pool_pallas,
+)
+
+
+@pytest.mark.parametrize(
+    "shape,kernel,stride",
+    [
+        # real MViT-B 16x4 pool geometries (kv strides 8/4/2/1, q stride 2)
+        ((2, 8, 56, 56, 96), (3, 3, 3), (1, 8, 8)),
+        ((2, 8, 56, 56, 192), (3, 3, 3), (1, 2, 2)),
+        ((2, 8, 28, 28, 192), (3, 3, 3), (1, 4, 4)),
+        ((2, 8, 14, 14, 384), (3, 3, 3), (1, 2, 2)),
+        ((2, 8, 7, 7, 768), (3, 3, 3), (1, 1, 1)),
+        # odd geometry + T stride + kt=1
+        ((2, 5, 9, 11, 64), (3, 3, 3), (2, 2, 2)),
+        ((2, 4, 10, 10, 32), (1, 3, 3), (1, 2, 2)),
+    ],
+)
+def test_pallas_matches_xla_conv(shape, kernel, stride):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    w = jnp.asarray(rng.normal(size=kernel + (shape[-1],)), jnp.float32)
+    pad = tuple(k // 2 for k in kernel)
+    ref = _xla_depthwise_pool(x, w, stride, pad)
+    out = depthwise_token_pool_pallas(x, w, stride, pad, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_grad_matches_xla_conv():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 32)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 32)), jnp.float32)
+    stride, pad = (1, 2, 2), (1, 1, 1)
+
+    def loss_pallas(x, w):
+        return jnp.sum(jnp.sin(_token_pool_ad(x, w, stride, pad, True)))
+
+    def loss_xla(x, w):
+        return jnp.sum(jnp.sin(_xla_depthwise_pool(x, w, stride, pad)))
+
+    gx1, gw1 = jax.grad(loss_pallas, (0, 1))(x, w)
+    gx2, gw2 = jax.grad(loss_xla, (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=1e-3)
+
+
+def test_dispatch_falls_back_on_cpu():
+    # auto mode on a CPU backend must route to the XLA grouped conv.
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 16)), jnp.float32)
+    out = depthwise_token_pool(x, w, (1, 2, 2), (1, 1, 1))
+    ref = _xla_depthwise_pool(x, w, (1, 2, 2), (1, 1, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_unsupported_geometry_raises_under_forced_pallas():
+    x = jnp.zeros((1, 4, 8, 8, 16))
+    w = jnp.zeros((4, 3, 3, 16))  # kt=4 unsupported
+    with pytest.raises(NotImplementedError):
+        depthwise_token_pool(x, w, (1, 1, 1), (2, 1, 1), use_pallas=True)
