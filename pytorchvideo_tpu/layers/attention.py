@@ -160,7 +160,15 @@ class TokenPool(nn.Module):
                     feature_group_count=Hg,
                 )
         elif self.pool_mode == "max":
-            grid = max_pool3d(grid, kernel, stride, padding)
+            from pytorchvideo_tpu.ops.token_pool import max_token_pool
+
+            grid = max_token_pool(
+                grid,
+                kernel,
+                stride,
+                padding,
+                use_pallas=False if self.is_initializing() else None,
+            )
         elif self.pool_mode == "avg":
             grid = avg_pool3d(grid, kernel, stride, padding)
         else:

@@ -75,27 +75,37 @@ def _pool_kernel(
     t_in: int,
     h_out: int,
     w_out: int,
+    mode: str = "conv",
 ):
-    """One (b, t_out) step: depthwise conv of kt input planes -> one output
-    plane. refs = (x_tap_0 .. x_tap_{kt-1}, w, out)."""
+    """One (b, t_out) step: depthwise pool of kt input planes -> one output
+    plane. refs = (x_tap_0 .. x_tap_{kt-1}[, w], out). Conv accumulates
+    weighted taps in f32 with zero padding; max folds taps with -inf
+    padding (torch MaxPool3d semantics, layers/common.py max_pool3d)."""
     x_refs = refs[:kt]
-    w_ref = refs[kt]
-    o_ref = refs[kt + 1]
+    w_ref = refs[kt] if mode == "conv" else None
+    o_ref = refs[-1]
     t_out = pl.program_id(1)
-    acc = jnp.zeros((h_out, w_out, o_ref.shape[-1]), jnp.float32)
+    is_max = mode == "max"
+    if is_max:
+        acc = jnp.full((h_out, w_out, o_ref.shape[-1]), -jnp.inf, jnp.float32)
+    else:
+        acc = jnp.zeros((h_out, w_out, o_ref.shape[-1]), jnp.float32)
     for dt in range(kt):
         plane = x_refs[dt][0, 0]  # (H, W, C)
         if pad_t > 0:
-            # The index map clamps the tap's source row into range; a tap
-            # that falls in the zero-pad region contributes nothing, which
-            # is enforced by zeroing its weight row.
+            # The index map clamps the tap's source T row into range; a tap
+            # that falls in the T-pad region contributes nothing, which is
+            # enforced by zeroing its weight row (conv) or folding -inf
+            # (max).
             t_src = stride_t * t_out + dt - pad_t
             valid = jnp.logical_and(t_src >= 0, t_src < t_in)
         else:
             valid = None
         if pad_h or pad_w:
             plane = jnp.pad(
-                plane, ((pad_h, pad_h), (pad_w, pad_w), (0, 0))
+                plane,
+                ((pad_h, pad_h), (pad_w, pad_w), (0, 0)),
+                constant_values=-jnp.inf if is_max else 0,
             )
         for dh in range(kh):
             for dw in range(kw):
@@ -108,11 +118,18 @@ def _pool_kernel(
                         plane.shape[-1],
                     ),
                     (stride_h, stride_w, 1),
-                )
-                w_row = w_ref[dt * kh * kw + dh * kw + dw].astype(jnp.float32)
-                if valid is not None:
-                    w_row = jnp.where(valid, w_row, 0.0)
-                acc = acc + tap.astype(jnp.float32) * w_row
+                ).astype(jnp.float32)
+                if is_max:
+                    if valid is not None:
+                        tap = jnp.where(valid, tap, -jnp.inf)
+                    acc = jnp.maximum(acc, tap)
+                else:
+                    w_row = w_ref[dt * kh * kw + dh * kw + dw].astype(
+                        jnp.float32
+                    )
+                    if valid is not None:
+                        w_row = jnp.where(valid, w_row, 0.0)
+                    acc = acc + tap * w_row
     o_ref[0, 0] = acc.astype(o_ref.dtype)
 
 
@@ -130,24 +147,23 @@ def _supported(kernel: Size3, stride: Size3, padding: Size3) -> bool:
     )
 
 
-def depthwise_token_pool_pallas(
+def _pool_pallas_call(
     x: jnp.ndarray,
-    w_packed: jnp.ndarray,
+    w_flat: Optional[jnp.ndarray],
+    kernel_size: Size3,
     stride: Size3,
     padding: Size3,
-    interpret: bool = False,
+    mode: str,
+    interpret: bool,
 ) -> jnp.ndarray:
-    """x: (B, T, H, W, C) row-major; w_packed: (kt, kh, kw, C) depthwise
-    weights (already head-tiled). Returns (B, T', H', W', C)."""
+    """Shared pallas_call builder for conv/max token pooling."""
     B, T, H, W, C = x.shape
-    kt, kh, kw, _ = w_packed.shape
+    kt, kh, kw = kernel_size
     st, sh, sw = stride
     pt, ph, pw = padding
     T2 = pool_out_size(T, kt, st, pt)
     H2 = pool_out_size(H, kh, sh, ph)
     W2 = pool_out_size(W, kw, sw, pw)
-
-    w_flat = w_packed.reshape(kt * kh * kw, C)
 
     kernel = functools.partial(
         _pool_kernel,
@@ -163,6 +179,7 @@ def depthwise_token_pool_pallas(
         t_in=T,
         h_out=H2,
         w_out=W2,
+        mode=mode,
     )
 
     def tap_spec(dt):
@@ -176,12 +193,16 @@ def depthwise_token_pool_pallas(
         )
 
     in_specs = [tap_spec(dt) for dt in range(kt)]
-    in_specs.append(
-        pl.BlockSpec(
-            (kt * kh * kw, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+    operands = [x] * kt
+    if mode == "conv":
+        in_specs.append(
+            pl.BlockSpec(
+                (kt * kh * kw, C), lambda b, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
         )
-    )
-    out = pl.pallas_call(
+        operands.append(w_flat)
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, T2, H2, W2, C), x.dtype),
         grid=(B, T2),
@@ -191,8 +212,36 @@ def depthwise_token_pool_pallas(
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(*([x] * kt + [w_flat]))
-    return out
+    )(*operands)
+
+
+def depthwise_token_pool_pallas(
+    x: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    stride: Size3,
+    padding: Size3,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x: (B, T, H, W, C) row-major; w_packed: (kt, kh, kw, C) depthwise
+    weights (already head-tiled). Returns (B, T', H', W', C)."""
+    kt, kh, kw, C = w_packed.shape
+    w_flat = w_packed.reshape(kt * kh * kw, C)
+    return _pool_pallas_call(
+        x, w_flat, (kt, kh, kw), stride, padding, "conv", interpret
+    )
+
+
+def max_token_pool_pallas(
+    x: jnp.ndarray,
+    kernel_size: Size3,
+    stride: Size3,
+    padding: Size3,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Torch-MaxPool3d-compatible max pool on the row-major token grid."""
+    return _pool_pallas_call(
+        x, None, kernel_size, stride, padding, "max", interpret
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -216,6 +265,67 @@ def _token_pool_bwd(stride, padding, interpret, res, g):
 
 
 _token_pool_ad.defvjp(_token_pool_fwd, _token_pool_bwd)
+
+
+def _xla_max_pool(x, kernel_size: Size3, stride: Size3, padding: Size3):
+    from pytorchvideo_tpu.layers.common import max_pool3d
+
+    return max_pool3d(x, kernel_size, stride, padding)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _max_pool_ad(x, kernel_size, stride, padding, interpret):
+    return max_token_pool_pallas(x, kernel_size, stride, padding, interpret)
+
+
+def _max_pool_fwd(x, kernel_size, stride, padding, interpret):
+    out = max_token_pool_pallas(x, kernel_size, stride, padding, interpret)
+    return out, (x,)
+
+
+def _max_pool_bwd(kernel_size, stride, padding, interpret, res, g):
+    (x,) = res
+    # Max-pool backward needs the primal windows (select-and-scatter); the
+    # recomputed XLA forward inside vjp is cheap relative to the step.
+    _, vjp = jax.vjp(
+        lambda a: _xla_max_pool(a, kernel_size, stride, padding), x
+    )
+    return vjp(g)
+
+
+_max_pool_ad.defvjp(_max_pool_fwd, _max_pool_bwd)
+
+
+def max_token_pool(
+    x: jnp.ndarray,
+    kernel_size: Size3,
+    stride: Size3,
+    padding: Size3,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Max pooling of a (B, T, H, W, C) token grid (torch MaxPool3d
+    semantics). Same dispatch policy as :func:`depthwise_token_pool`."""
+    kernel_size = tuple(int(k) for k in kernel_size)
+    if use_pallas is None:
+        mode = os.environ.get("PVT_TOKEN_POOL", "auto")
+        if mode == "pallas":
+            use_pallas = True
+        elif mode == "xla":
+            use_pallas = False
+        else:
+            use_pallas = (
+                _HAS_PALLAS
+                and jax.default_backend() == "tpu"
+                and _supported(kernel_size, stride, padding)
+            )
+    if use_pallas:
+        if not _supported(kernel_size, stride, padding):
+            raise NotImplementedError(
+                f"token-pool kernel supports odd k<=5 (kt<=3) with p=k//2; "
+                f"got kernel={kernel_size} padding={padding}"
+            )
+        return _max_pool_ad(x, kernel_size, stride, padding, False)
+    return _xla_max_pool(x, kernel_size, stride, padding)
 
 
 def depthwise_token_pool(

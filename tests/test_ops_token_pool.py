@@ -72,3 +72,43 @@ def test_unsupported_geometry_raises_under_forced_pallas():
     w = jnp.zeros((4, 3, 3, 16))  # kt=4 unsupported
     with pytest.raises(NotImplementedError):
         depthwise_token_pool(x, w, (1, 1, 1), (2, 1, 1), use_pallas=True)
+
+
+@pytest.mark.parametrize(
+    "shape,kernel,stride",
+    [
+        # pool_skip geometries: kernel s+1, stride s, pad k//2
+        ((2, 8, 56, 56, 192), (1, 3, 3), (1, 2, 2)),
+        ((2, 8, 14, 14, 384), (1, 3, 3), (1, 2, 2)),
+        ((2, 5, 9, 11, 64), (3, 3, 3), (2, 2, 2)),
+    ],
+)
+def test_max_pool_matches_xla(shape, kernel, stride):
+    from pytorchvideo_tpu.ops.token_pool import (
+        _xla_max_pool,
+        max_token_pool_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    pad = tuple(k // 2 for k in kernel)
+    ref = _xla_max_pool(x, kernel, stride, pad)
+    out = max_token_pool_pallas(x, kernel, stride, pad, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_max_pool_grad_matches_xla():
+    from pytorchvideo_tpu.ops.token_pool import _max_pool_ad, _xla_max_pool
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 32)), jnp.float32)
+    kernel, stride, pad = (1, 3, 3), (1, 2, 2), (0, 1, 1)
+
+    g1 = jax.grad(
+        lambda a: jnp.sum(jnp.sin(_max_pool_ad(a, kernel, stride, pad, True)))
+    )(x)
+    g2 = jax.grad(
+        lambda a: jnp.sum(jnp.sin(_xla_max_pool(a, kernel, stride, pad)))
+    )(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
