@@ -306,12 +306,15 @@ def max_token_pool(
     """Max pooling of a (B, T, H, W, C) token grid (torch MaxPool3d
     semantics). Same dispatch policy as :func:`depthwise_token_pool`."""
     kernel_size = tuple(int(k) for k in kernel_size)
+    interpret = False
     if use_pallas is None:
         mode = os.environ.get("PVT_TOKEN_POOL", "auto")
         if mode == "pallas":
             use_pallas = True
         elif mode == "xla":
             use_pallas = False
+        elif mode == "interpret":
+            use_pallas, interpret = True, True
         else:
             use_pallas = (
                 _HAS_PALLAS
@@ -324,7 +327,7 @@ def max_token_pool(
                 f"token-pool kernel supports odd k<=5 (kt<=3) with p=k//2; "
                 f"got kernel={kernel_size} padding={padding}"
             )
-        return _max_pool_ad(x, kernel_size, stride, padding, False)
+        return _max_pool_ad(x, kernel_size, stride, padding, interpret)
     return _xla_max_pool(x, kernel_size, stride, padding)
 
 
@@ -342,12 +345,17 @@ def depthwise_token_pool(
     ``PVT_TOKEN_POOL`` = ``pallas`` | ``xla`` | ``auto`` overrides.
     """
     kernel = tuple(w_packed.shape[:3])
+    interpret = False
     if use_pallas is None:
         mode = os.environ.get("PVT_TOKEN_POOL", "auto")
         if mode == "pallas":
             use_pallas = True
         elif mode == "xla":
             use_pallas = False
+        elif mode == "interpret":
+            # CPU end-to-end testing of the Pallas wiring (weight tiling,
+            # split-token threading) without a TPU.
+            use_pallas, interpret = True, True
         else:
             use_pallas = (
                 _HAS_PALLAS
@@ -360,5 +368,5 @@ def depthwise_token_pool(
                 f"token-pool kernel supports odd k<=5 (kt<=3) with p=k//2; "
                 f"got kernel={kernel} padding={padding}"
             )
-        return _token_pool_ad(x, w_packed, stride, padding, False)
+        return _token_pool_ad(x, w_packed, stride, padding, interpret)
     return _xla_depthwise_pool(x, w_packed, stride, padding)

@@ -112,3 +112,31 @@ def test_max_pool_grad_matches_xla():
         lambda a: jnp.sum(jnp.sin(_xla_max_pool(a, kernel, stride, pad)))
     )(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_full_mvit_interpret_matches_xla_pool(monkeypatch):
+    """End-to-end wiring check: a small MViT forward with the pool kernel in
+    interpret mode must reproduce the XLA-conv pool path exactly (weight
+    tiling, cls/grid threading, skip max pool)."""
+    from pytorchvideo_tpu import models
+
+    model = models.create_multiscale_vision_transformers(
+        spatial_size=32,
+        temporal_size=4,
+        depth=3,
+        num_heads=2,
+        patch_embed_dim=32,
+        pool_q_stride_size=[[1, 1, 2, 2]],
+        pool_kv_stride_adaptive=[1, 2, 2],
+        pool_kvq_kernel=[3, 3, 3],
+        head_num_classes=7,
+    )
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 4, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+
+    monkeypatch.setenv("PVT_TOKEN_POOL", "xla")
+    ref = model.apply(variables, x, False)
+    monkeypatch.setenv("PVT_TOKEN_POOL", "interpret")
+    out = model.apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
