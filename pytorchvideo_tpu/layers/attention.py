@@ -170,7 +170,15 @@ class TokenPool(nn.Module):
                 use_pallas=False if self.is_initializing() else None,
             )
         elif self.pool_mode == "avg":
-            grid = avg_pool3d(grid, kernel, stride, padding)
+            from pytorchvideo_tpu.ops.token_pool import avg_token_pool
+
+            grid = avg_token_pool(
+                grid,
+                kernel,
+                stride,
+                padding,
+                use_pallas=False if self.is_initializing() else None,
+            )
         else:
             raise NotImplementedError(self.pool_mode)
 

@@ -37,6 +37,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:  # pallas import kept optional: CPU test envs use interpret mode
     from jax.experimental import pallas as pl
@@ -294,6 +295,72 @@ def _max_pool_bwd(kernel_size, stride, padding, interpret, res, g):
 
 
 _max_pool_ad.defvjp(_max_pool_fwd, _max_pool_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _avg_pool_ad(x, kernel_size, stride, padding, interpret):
+    # count_include_pad=True average = depthwise conv with uniform 1/k^3
+    # weights and zero padding (layers/common.py avg_pool3d semantics).
+    w = jnp.full(
+        tuple(kernel_size) + (x.shape[-1],),
+        1.0 / float(np.prod(kernel_size)),
+        x.dtype,
+    )
+    return depthwise_token_pool_pallas(x, w, stride, padding, interpret)
+
+
+def _avg_pool_fwd(x, kernel_size, stride, padding, interpret):
+    return _avg_pool_ad(x, kernel_size, stride, padding, interpret), (x,)
+
+
+def _avg_pool_bwd(kernel_size, stride, padding, interpret, res, g):
+    (x,) = res
+    from pytorchvideo_tpu.layers.common import avg_pool3d
+
+    _, vjp = jax.vjp(
+        lambda a: avg_pool3d(a, kernel_size, stride, padding), x
+    )
+    return vjp(g)
+
+
+_avg_pool_ad.defvjp(_avg_pool_fwd, _avg_pool_bwd)
+
+
+def avg_token_pool(
+    x: jnp.ndarray,
+    kernel_size: Size3,
+    stride: Size3,
+    padding: Size3,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Average pooling (count_include_pad=True) of a (B, T, H, W, C) token
+    grid. Same dispatch policy as :func:`depthwise_token_pool`."""
+    from pytorchvideo_tpu.layers.common import avg_pool3d
+
+    kernel_size = tuple(int(k) for k in kernel_size)
+    interpret = False
+    if use_pallas is None:
+        mode = os.environ.get("PVT_TOKEN_POOL", "auto")
+        if mode == "pallas":
+            use_pallas = True
+        elif mode == "xla":
+            use_pallas = False
+        elif mode == "interpret":
+            use_pallas, interpret = True, True
+        else:
+            use_pallas = (
+                _HAS_PALLAS
+                and jax.default_backend() == "tpu"
+                and _supported(kernel_size, stride, padding)
+            )
+    if use_pallas:
+        if not _supported(kernel_size, stride, padding):
+            raise NotImplementedError(
+                f"token-pool kernel supports odd k<=5 (kt<=3) with p=k//2; "
+                f"got kernel={kernel_size} padding={padding}"
+            )
+        return _avg_pool_ad(x, kernel_size, stride, padding, interpret)
+    return avg_pool3d(x, kernel_size, stride, padding)
 
 
 def max_token_pool(

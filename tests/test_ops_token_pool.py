@@ -140,3 +140,28 @@ def test_full_mvit_interpret_matches_xla_pool(monkeypatch):
     monkeypatch.setenv("PVT_TOKEN_POOL", "interpret")
     out = model.apply(variables, x, False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "shape,kernel,stride",
+    [
+        ((2, 8, 14, 14, 96), (3, 3, 3), (1, 2, 2)),
+        ((2, 5, 9, 11, 64), (3, 3, 3), (2, 2, 2)),
+    ],
+)
+def test_avg_pool_matches_xla(shape, kernel, stride):
+    from pytorchvideo_tpu.layers.common import avg_pool3d
+    from pytorchvideo_tpu.ops.token_pool import _avg_pool_ad
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    pad = tuple(k // 2 for k in kernel)
+    ref = avg_pool3d(x, kernel, stride, pad)
+    out = _avg_pool_ad(x, kernel, stride, pad, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5
+    )
+
+    g1 = jax.grad(lambda a: jnp.sum(jnp.sin(_avg_pool_ad(a, kernel, stride, pad, True))))(x)
+    g2 = jax.grad(lambda a: jnp.sum(jnp.sin(avg_pool3d(a, kernel, stride, pad))))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
