@@ -223,8 +223,46 @@ def bench_pipeline_fps():
         return n_clips * src_frames_per_clip / dt
 
 
+def _devices_with_timeout(timeout_s: float):
+    """Backend init crosses the TPU tunnel, which has been observed to stall
+    for tens of minutes; fail fast with a diagnosable JSON line instead of
+    hanging the driver's bench run."""
+    import threading
+
+    result = {}
+
+    def init():
+        try:
+            result["d"] = jax.devices()
+        except Exception as e:  # pragma: no cover
+            result["e"] = repr(e)
+
+    th = threading.Thread(target=init, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "d" not in result:
+        print(
+            json.dumps(
+                {
+                    "metric": "x3d_s_inference_clips_per_sec_per_chip",
+                    "value": 0,
+                    "unit": "clips/s",
+                    "vs_baseline": 0,
+                    "error": result.get(
+                        "e",
+                        f"TPU backend init did not complete in {timeout_s}s "
+                        "(tunnel stall)",
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(1)
+    return result["d"]
+
+
 def main():
-    device = jax.devices()[0]
+    device = _devices_with_timeout(float(os.environ.get("BENCH_INIT_TIMEOUT", 900)))[0]
     cpu = jax.devices("cpu")[0]
 
     x3d = bench_x3d_s(device, cpu)
