@@ -255,10 +255,172 @@ def _token_pool_fwd(x, w_packed, stride, padding, interpret):
     return out, (x, w_packed)
 
 
+def _dw_kernel(
+    *refs,
+    kt: int,
+    kh: int,
+    kw: int,
+    stride_t: int,
+    stride_h: int,
+    stride_w: int,
+    pad_t: int,
+    pad_h: int,
+    pad_w: int,
+    t_in: int,
+    h_out: int,
+    w_out: int,
+):
+    """Weight gradient: one (b, t_out) step accumulates per-tap channel dots
+    sum_{h',w'}(x_tap * g) into a VMEM-resident (kt*kh*kw, C) block shared
+    across the whole sequential grid (same pattern as the attention bwd's
+    dk/dv accumulators)."""
+    x_refs = refs[:kt]
+    g_ref = refs[kt]
+    dw_ref = refs[kt + 1]
+    b = pl.program_id(0)
+    t_out = pl.program_id(1)
+    g = g_ref[0, 0].astype(jnp.float32)  # (H2, W2, C)
+    rows = []
+    for dt in range(kt):
+        plane = x_refs[dt][0, 0]
+        if pad_t > 0:
+            t_src = stride_t * t_out + dt - pad_t
+            valid = jnp.logical_and(t_src >= 0, t_src < t_in)
+        else:
+            valid = None
+        if pad_h or pad_w:
+            plane = jnp.pad(plane, ((pad_h, pad_h), (pad_w, pad_w), (0, 0)))
+        for dh in range(kh):
+            for dw in range(kw):
+                tap = jax.lax.slice(
+                    plane,
+                    (dh, dw, 0),
+                    (
+                        dh + stride_h * (h_out - 1) + 1,
+                        dw + stride_w * (w_out - 1) + 1,
+                        plane.shape[-1],
+                    ),
+                    (stride_h, stride_w, 1),
+                ).astype(jnp.float32)
+                row = jnp.sum(tap * g, axis=(0, 1))  # (C,)
+                if valid is not None:
+                    row = jnp.where(valid, row, 0.0)
+                rows.append(row)
+    update = jnp.stack(rows)  # (kt*kh*kw, C)
+
+    @pl.when(jnp.logical_and(b == 0, t_out == 0))
+    def _init():
+        dw_ref[...] = update
+
+    @pl.when(jnp.logical_or(b > 0, t_out > 0))
+    def _accum():
+        dw_ref[...] += update
+
+
+def _weight_grad_pallas(x, g, kernel_size, stride, padding, interpret):
+    """dw for the depthwise pool: (kt, kh, kw, C) from one pass over x/g."""
+    B, T, H, W, C = x.shape
+    kt, kh, kw = kernel_size
+    st, sh, sw = stride
+    pt, ph, pw = padding
+    T2, H2, W2 = g.shape[1:4]
+
+    kernel = functools.partial(
+        _dw_kernel,
+        kt=kt,
+        kh=kh,
+        kw=kw,
+        stride_t=st,
+        stride_h=sh,
+        stride_w=sw,
+        pad_t=pt,
+        pad_h=ph,
+        pad_w=pw,
+        t_in=T,
+        h_out=H2,
+        w_out=W2,
+    )
+
+    def tap_spec(dt):
+        def index_map(b, t):
+            src = st * t + dt - pt
+            src = jnp.clip(src, 0, T - 1)
+            return (b, src, 0, 0, 0)
+
+        return pl.BlockSpec((1, 1, H, W, C), index_map,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [tap_spec(dt) for dt in range(kt)]
+    in_specs.append(
+        pl.BlockSpec(
+            (1, 1, H2, W2, C), lambda b, t: (b, t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    dw = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((kt * kh * kw, C), jnp.float32),
+        grid=(B, T2),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (kt * kh * kw, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(*([x] * kt + [g]))
+    return dw.reshape(kt, kh, kw, C)
+
+
+def _input_grad_pallas(x_shape, w_packed, g, stride, padding, interpret):
+    """dx via the transposed-conv identity: dilate g by the stride, pad so
+    the remaining conv is stride-1 with p=k//2 (which the forward kernel
+    supports), and run the forward kernel with the flipped weights."""
+    B, T, H, W, C = x_shape
+    kt, kh, kw = w_packed.shape[:3]
+    dims = []
+    for d, k, s, p in zip((T, H, W), (kt, kh, kw), stride, padding):
+        d2 = pool_out_size(d, k, s, p)
+        lo = k - 1 - p  # transposed-conv pad
+        hi = d + p - 1 - (d2 - 1) * s  # so the stride-1 output size == d
+        dims.append((d2, lo, hi, s))
+    # Fold the asymmetric part of the pad into the dilated tensor so the
+    # kernel sees a symmetric p = k//2 (lo == k-1-p == k//2 for odd k).
+    pad_cfg = [(0, 0, 0)]
+    for (d2, lo, hi, s), k, p in zip(dims, (kt, kh, kw), padding):
+        sym = k // 2
+        pad_cfg.append((lo - sym, hi - sym, s - 1))
+    pad_cfg.append((0, 0, 0))
+    g_dil = jax.lax.pad(g.astype(jnp.float32), jnp.float32(0), pad_cfg)
+    w_flip = w_packed[::-1, ::-1, ::-1].astype(jnp.float32)
+    dx = depthwise_token_pool_pallas(
+        g_dil,
+        w_flip,
+        (1, 1, 1),
+        (kt // 2, kh // 2, kw // 2),
+        interpret,
+    )
+    assert dx.shape == x_shape, (dx.shape, x_shape)
+    return dx
+
+
 def _token_pool_bwd(stride, padding, interpret, res, g):
     x, w_packed = res
-    # The conv is linear in (x, w): the primal conv inside vjp is dead code
-    # (XLA DCEs it); only the transposed convs execute.
+    kernel_size = tuple(w_packed.shape[:3])
+    use_pallas = interpret or (
+        _HAS_PALLAS
+        and jax.default_backend() == "tpu"
+        and _supported(kernel_size, stride, padding)
+        and all(k % 2 == 1 for k in kernel_size)
+    )
+    if use_pallas:
+        dx = _input_grad_pallas(
+            x.shape, w_packed, g, stride, padding, interpret
+        ).astype(x.dtype)
+        dw = _weight_grad_pallas(
+            x, g, kernel_size, stride, padding, interpret
+        ).astype(w_packed.dtype)
+        return dx, dw
+    # Fallback: the conv is linear in (x, w), so the primal conv inside vjp
+    # is dead code (XLA DCEs it); only the transposed convs execute.
     _, vjp = jax.vjp(
         lambda a, b: _xla_depthwise_pool(a, b, stride, padding), x, w_packed
     )

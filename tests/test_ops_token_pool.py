@@ -165,3 +165,36 @@ def test_avg_pool_matches_xla(shape, kernel, stride):
     g1 = jax.grad(lambda a: jnp.sum(jnp.sin(_avg_pool_ad(a, kernel, stride, pad, True))))(x)
     g2 = jax.grad(lambda a: jnp.sum(jnp.sin(avg_pool3d(a, kernel, stride, pad))))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "shape,kernel,stride",
+    [
+        ((2, 8, 12, 12, 32), (3, 3, 3), (1, 8, 8)),
+        ((2, 7, 9, 11, 16), (3, 3, 3), (2, 2, 2)),
+        ((1, 4, 10, 10, 8), (1, 3, 3), (1, 2, 2)),
+        ((2, 8, 14, 14, 64), (3, 3, 3), (1, 1, 1)),
+    ],
+)
+def test_pallas_bwd_matches_xla_grads(shape, kernel, stride):
+    """The all-Pallas backward (dilate+flipped-forward dx, grid-accumulated
+    dw) must match the XLA transposed-conv gradients."""
+    rng = np.random.default_rng(7)
+    pad = tuple(k // 2 for k in kernel)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    w = jnp.asarray(rng.normal(size=kernel + (shape[-1],)), jnp.float32)
+    g = jnp.asarray(
+        rng.normal(size=_xla_depthwise_pool(x, w, stride, pad).shape),
+        jnp.float32,
+    )
+
+    def f_p(a, b):
+        return jnp.vdot(_token_pool_ad(a, b, stride, pad, True), g)
+
+    def f_x(a, b):
+        return jnp.vdot(_xla_depthwise_pool(a, b, stride, pad), g)
+
+    gx1, gw1 = jax.grad(f_p, (0, 1))(x, w)
+    gx2, gw2 = jax.grad(f_x, (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=5e-3)
