@@ -61,15 +61,35 @@ def create_res_basic_stem(
     norm_momentum: float = 0.1,
     activation: Optional[Callable] = nn.relu,
 ) -> ResNetBasicStem:
-    """Basic video stem builder (reference stem.py:11-107)."""
-    conv_module = conv(
-        in_channels=in_channels,
-        out_channels=out_channels,
-        kernel_size=conv_kernel_size,
-        stride=conv_stride,
-        padding=conv_padding,
-        bias=conv_bias,
-    )
+    """Basic video stem builder (reference stem.py:11-107).
+
+    Like :func:`create_conv_patch_embed`, the default tiny-C_in strided
+    stem conv is built as the stride-blocked :class:`WBlockedConv`
+    (identical param tree, exact math): XLA:TPU pads the 3-channel minor
+    dim to the 128-lane tile, so the plain conv runs ~10x off the MXU
+    roofline and its operand relayout rewrites the full input tensor.
+    """
+    if (
+        conv is Conv3d
+        and in_channels * triple(conv_stride)[2] <= 32
+        and triple(conv_stride)[2] > 1
+    ):
+        conv_module = WBlockedConv(
+            features=out_channels,
+            kernel_size=triple(conv_kernel_size),
+            strides=triple(conv_stride),
+            padding=pad_pairs(conv_padding),
+            use_bias=conv_bias,
+        )
+    else:
+        conv_module = conv(
+            in_channels=in_channels,
+            out_channels=out_channels,
+            kernel_size=conv_kernel_size,
+            stride=conv_stride,
+            padding=conv_padding,
+            bias=conv_bias,
+        )
     pool_module = (
         None
         if pool is None

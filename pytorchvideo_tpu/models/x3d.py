@@ -18,7 +18,12 @@ import flax.linen as nn
 import jax
 import numpy as np
 
-from pytorchvideo_tpu.layers.common import Conv3d, apply_with_train
+from pytorchvideo_tpu.layers.common import (
+    Conv3d,
+    WBlockedConv,
+    apply_with_train,
+    pad_pairs,
+)
 from pytorchvideo_tpu.layers.convolutions import Conv2plus1d
 from pytorchvideo_tpu.layers.norms import BatchNorm, make_act, make_norm
 from pytorchvideo_tpu.layers.pooling import AvgPool3d
@@ -47,14 +52,25 @@ def create_x3d_stem(
     (reference x3d.py:19-102; note the reference stores the spatial conv in
     Conv2plus1d's ``conv_t`` slot and the temporal in ``conv_xy`` — we keep
     that field layout for checkpoint-name parity)."""
-    conv_xy = Conv3d(
-        in_channels=in_channels,
-        out_channels=out_channels,
-        kernel_size=(1, conv_kernel_size[1], conv_kernel_size[2]),
-        stride=(1, conv_stride[1], conv_stride[2]),
-        padding=(0, conv_padding[1], conv_padding[2]),
-        bias=False,
-    )
+    if in_channels * conv_stride[2] <= 32 and conv_stride[2] > 1:
+        # Tiny-C_in strided spatial conv: stride-block W (exact rewrite,
+        # identical param tree) — see models/stem.py create_res_basic_stem.
+        conv_xy = WBlockedConv(
+            features=out_channels,
+            kernel_size=(1, conv_kernel_size[1], conv_kernel_size[2]),
+            strides=(1, conv_stride[1], conv_stride[2]),
+            padding=pad_pairs((0, conv_padding[1], conv_padding[2])),
+            use_bias=False,
+        )
+    else:
+        conv_xy = Conv3d(
+            in_channels=in_channels,
+            out_channels=out_channels,
+            kernel_size=(1, conv_kernel_size[1], conv_kernel_size[2]),
+            stride=(1, conv_stride[1], conv_stride[2]),
+            padding=(0, conv_padding[1], conv_padding[2]),
+            bias=False,
+        )
     conv_t = Conv3d(
         in_channels=out_channels,
         out_channels=out_channels,
