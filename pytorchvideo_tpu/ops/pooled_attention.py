@@ -294,12 +294,36 @@ def pooled_attention_pallas(
 ) -> jnp.ndarray:
     """q/k/v: (B, H, L, c). Returns (B, H, L_q, c).
 
-    Forward runs on a cdiv grid without materialized padding: Mosaic
-    handles the ragged final q-tile and the non-128 minor dims internally
-    (measured v5e: bit-identical to the padded wrapper, ~16% faster at the
-    MViT d0 shape, neutral at d1/d3 — see benchmarks/mvit_micro.py
-    attention_nopad). Interpret mode (CPU tests) keeps the padded path,
-    whose semantics the interpreter models exactly.
+    SPMD: batch-, head- and q-length-parallel under a mesh; key length and
+    head_dim replicated (ops/spmd.py).
+    """
+    from pytorchvideo_tpu.ops.spmd import shard_by_rule
+
+    fn = shard_by_rule(
+        lambda a, b, c_: _pooled_attention_pallas_local(
+            a, b, c_, scale, residual_pool, interpret, tile_q
+        ),
+        "b h lq c, b h lk c, b h lk c -> b h lq c",
+        need_replication=("lk", "c"),
+    )
+    return fn(q, k, v)
+
+
+def _pooled_attention_pallas_local(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    residual_pool: bool = False,
+    interpret: bool = False,
+    tile_q: int = _TILE_Q,
+) -> jnp.ndarray:
+    """Per-shard body. Forward runs on a cdiv grid without materialized
+    padding: Mosaic handles the ragged final q-tile and the non-128 minor
+    dims internally (measured v5e: bit-identical to the padded wrapper,
+    ~16% faster at the MViT d0 shape, neutral at d1/d3 — see
+    benchmarks/mvit_micro.py attention_nopad). Interpret mode (CPU tests)
+    keeps the padded path, whose semantics the interpreter models exactly.
     """
     B, H, Lq, c = q.shape
     Lk = k.shape[2]
@@ -369,7 +393,24 @@ def pooled_attention_pallas(
 def pooled_attention_pallas_bwd(
     q, k, v, g, scale, residual_pool=False, interpret=False, tile_q=_TILE_Q
 ):
-    """Backward pass: returns (dq, dk, dv), each shaped like its input."""
+    """Backward pass: returns (dq, dk, dv), each shaped like its input.
+    SPMD: batch/head-parallel; sequence lengths and head_dim replicated."""
+    from pytorchvideo_tpu.ops.spmd import shard_by_rule
+
+    fn = shard_by_rule(
+        lambda a, b, c_, d: _pooled_attention_pallas_bwd_local(
+            a, b, c_, d, scale, residual_pool, interpret, tile_q
+        ),
+        "b h lq c, b h lk c, b h lk c, b h lq c -> "
+        "b h lq c, b h lk c, b h lk c",
+        need_replication=("lq", "lk", "c"),
+    )
+    return fn(q, k, v, g)
+
+
+def _pooled_attention_pallas_bwd_local(
+    q, k, v, g, scale, residual_pool=False, interpret=False, tile_q=_TILE_Q
+):
     B, H, Lq, c = q.shape
     Lk = k.shape[2]
 
@@ -443,21 +484,18 @@ def _ad_bwd(scale, residual_pool, interpret, tile_q, res, g):
 pooled_attention_pallas_ad.defvjp(_ad_fwd, _ad_bwd)
 
 
-def pooled_attention_packed_pallas(
-    q,
-    k,
-    v,
-    num_heads,
-    scale,
-    residual_pool=False,
-    tile_q=_TILE_Q,
-    interpret=False,
-):
-    """q/k/v: (B, L, H*c) head-packed (the Dense projection layout).
-    Returns (B, L_q, H*c)."""
+def _packed_pallas_local(q, k, v, head_dim, scale, residual_pool, tile_q,
+                         interpret):
+    """Per-shard packed attention: the head count comes from the LOCAL
+    channel width, so a head-parallel (TP) shard of the packed dim just
+    runs the kernel on its own heads."""
     B, Lq, HC = q.shape
     Lk = k.shape[1]
-    c = HC // num_heads
+    assert HC % head_dim == 0, (
+        f"packed channel shard {HC} does not divide into head_dim "
+        f"{head_dim}; shard the model axis over whole heads"
+    )
+    heads = HC // head_dim
     tile_q = min(tile_q, Lq)
     grid = (B, pl.cdiv(Lq, tile_q))
     q_spec = pl.BlockSpec(
@@ -470,8 +508,8 @@ def pooled_attention_packed_pallas(
         functools.partial(
             _attention_kernel_packed,
             scale=scale,
-            heads=num_heads,
-            head_dim=c,
+            heads=heads,
+            head_dim=head_dim,
             residual=residual_pool,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Lq, HC), q.dtype),
@@ -480,6 +518,36 @@ def pooled_attention_packed_pallas(
         out_specs=q_spec,
         interpret=interpret,
     )(q, k, v)
+
+
+def pooled_attention_packed_pallas(
+    q,
+    k,
+    v,
+    num_heads,
+    scale,
+    residual_pool=False,
+    tile_q=_TILE_Q,
+    interpret=False,
+):
+    """q/k/v: (B, L, H*c) head-packed (the Dense projection layout).
+    Returns (B, L_q, H*c).
+
+    SPMD: batch-, q-length- and head-parallel under a mesh (a shard of the
+    packed channel dim = a set of whole heads, asserted in the local fn);
+    the key length stays replicated (ops/spmd.py).
+    """
+    from pytorchvideo_tpu.ops.spmd import shard_by_rule
+
+    head_dim = q.shape[-1] // num_heads
+    fn = shard_by_rule(
+        lambda a, b, c: _packed_pallas_local(
+            a, b, c, head_dim, scale, residual_pool, tile_q, interpret
+        ),
+        "b lq hc, b lk hc, b lk hc -> b lq hc",
+        need_replication=("lk",),
+    )
+    return fn(q, k, v)
 
 
 def pooled_attention_packed_pallas_bwd(
@@ -493,9 +561,31 @@ def pooled_attention_packed_pallas_bwd(
     tile_q=_TILE_Q,
     interpret=False,
 ):
+    """SPMD: batch- and head-parallel; both sequence lengths replicated
+    (dk/dv reduce over L_q, dq over L_k)."""
+    from pytorchvideo_tpu.ops.spmd import shard_by_rule
+
+    head_dim = q.shape[-1] // num_heads
+    fn = shard_by_rule(
+        lambda a, b, c, d: _packed_pallas_bwd_local(
+            a, b, c, d, head_dim, scale, residual_pool, tile_q, interpret
+        ),
+        "b lq hc, b lk hc, b lk hc, b lq hc -> b lq hc, b lk hc, b lk hc",
+        need_replication=("lq", "lk"),
+    )
+    return fn(q, k, v, g)
+
+
+def _packed_pallas_bwd_local(
+    q, k, v, g, head_dim, scale, residual_pool, tile_q, interpret
+):
     B, Lq, HC = q.shape
     Lk = k.shape[1]
-    c = HC // num_heads
+    assert HC % head_dim == 0, (
+        f"packed channel shard {HC} does not divide into head_dim {head_dim}"
+    )
+    num_heads = HC // head_dim
+    c = head_dim
     tile_q = min(tile_q, Lq)
     # Pad L_q to the tile so ragged final-tile rows can't pollute the dk/dv
     # accumulators (their g rows are zero => zero contribution).

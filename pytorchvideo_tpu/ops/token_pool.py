@@ -224,12 +224,25 @@ def depthwise_token_pool_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x: (B, T, H, W, C) row-major; w_packed: (kt, kh, kw, C) depthwise
-    weights (already head-tiled). Returns (B, T', H', W', C)."""
+    weights (already head-tiled). Returns (B, T', H', W', C).
+
+    SPMD: batch- and channel-parallel under a mesh (the conv is depthwise,
+    so a channel shard is self-contained); the token geometry must stay
+    replicated (ops/spmd.py).
+    """
+    from pytorchvideo_tpu.ops.spmd import shard_by_rule
+
     kt, kh, kw, C = w_packed.shape
+    kernel_size = (kt, kh, kw)
     w_flat = w_packed.reshape(kt * kh * kw, C)
-    return _pool_pallas_call(
-        x, w_flat, (kt, kh, kw), stride, padding, "conv", interpret
+    fn = shard_by_rule(
+        lambda a, b: _pool_pallas_call(
+            a, b, kernel_size, stride, padding, "conv", interpret
+        ),
+        "b t h w c, k c -> b t2 h2 w2 c",
+        need_replication=("t", "h", "w", "t2", "h2", "w2", "k"),
     )
+    return fn(x, w_flat)
 
 
 def max_token_pool_pallas(
@@ -239,10 +252,18 @@ def max_token_pool_pallas(
     padding: Size3,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Torch-MaxPool3d-compatible max pool on the row-major token grid."""
-    return _pool_pallas_call(
-        x, None, kernel_size, stride, padding, "max", interpret
+    """Torch-MaxPool3d-compatible max pool on the row-major token grid.
+    SPMD: batch/channel-parallel like :func:`depthwise_token_pool_pallas`."""
+    from pytorchvideo_tpu.ops.spmd import shard_by_rule
+
+    fn = shard_by_rule(
+        lambda a: _pool_pallas_call(
+            a, None, kernel_size, stride, padding, "max", interpret
+        ),
+        "b t h w c -> b t2 h2 w2 c",
+        need_replication=("t", "h", "w", "t2", "h2", "w2"),
     )
+    return fn(x)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -318,7 +339,24 @@ def _dw_kernel(
 
 
 def _weight_grad_pallas(x, g, kernel_size, stride, padding, interpret):
-    """dw for the depthwise pool: (kt, kh, kw, C) from one pass over x/g."""
+    """dw for the depthwise pool: (kt, kh, kw, C) from one pass over x/g.
+    SPMD: channel-parallel; batch is a reduction factor — a batch-sharded
+    mesh computes local dw and psums it (ops/spmd.py)."""
+    from pytorchvideo_tpu.ops.spmd import shard_by_rule
+
+    fn = shard_by_rule(
+        lambda a, b: _weight_grad_pallas_local(
+            a, b, kernel_size, stride, padding, interpret
+        ),
+        "b t h w c, b t2 h2 w2 c -> k c",
+        need_replication=("t", "h", "w", "t2", "h2", "w2"),
+        reduction=("b",),
+        psum_over_arg_dim=(0, 0),
+    )
+    return fn(x, g).reshape(kernel_size + (x.shape[-1],))
+
+
+def _weight_grad_pallas_local(x, g, kernel_size, stride, padding, interpret):
     B, T, H, W, C = x.shape
     kt, kh, kw = kernel_size
     st, sh, sw = stride
@@ -357,7 +395,7 @@ def _weight_grad_pallas(x, g, kernel_size, stride, padding, interpret):
             memory_space=pltpu.VMEM,
         )
     )
-    dw = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((kt * kh * kw, C), jnp.float32),
         grid=(B, T2),
@@ -367,7 +405,6 @@ def _weight_grad_pallas(x, g, kernel_size, stride, padding, interpret):
         ),
         interpret=interpret,
     )(*([x] * kt + [g]))
-    return dw.reshape(kt, kh, kw, C)
 
 
 def _input_grad_pallas(x_shape, w_packed, g, stride, padding, interpret):
