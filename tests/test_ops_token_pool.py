@@ -198,3 +198,51 @@ def test_pallas_bwd_matches_xla_grads(shape, kernel, stride):
     gx2, gw2 = jax.grad(f_x, (0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=5e-3)
+
+
+def test_full_mvit_grads_interpret_matches_xla_pool(monkeypatch):
+    """Training-path wiring: gradients through a small MViT with the Pallas
+    pool (interpret) must match the XLA-conv pool path."""
+    from pytorchvideo_tpu import models
+
+    model = models.create_multiscale_vision_transformers(
+        spatial_size=16,
+        temporal_size=4,
+        depth=2,
+        num_heads=2,
+        patch_embed_dim=32,
+        pool_q_stride_size=[[1, 1, 2, 2]],
+        pool_kv_stride_adaptive=[1, 2, 2],
+        pool_kvq_kernel=[3, 3, 3],
+        head_num_classes=5,
+    )
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+
+    def loss(params):
+        out = model.apply({**variables, "params": params}, x, False)
+        return jnp.sum(jnp.sin(out))
+
+    monkeypatch.setenv("PVT_TOKEN_POOL", "xla")
+    g_ref = jax.grad(loss)(variables["params"])
+    monkeypatch.setenv("PVT_TOKEN_POOL", "interpret")
+    g_out = jax.grad(loss)(variables["params"])
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_out = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_out)
+    )
+    for path, ref in flat_ref:
+        out = flat_out[jax.tree_util.keystr(path)]
+        # rel tolerance scaled to the tensor's magnitude: grads span 1e-8
+        # (LN biases) to 1e5 (patch embed) and both paths accumulate in a
+        # different order.
+        scale = float(np.max(np.abs(np.asarray(ref)))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.asarray(ref),
+            rtol=0,
+            atol=1e-4 * scale,
+            err_msg=jax.tree_util.keystr(path),
+        )
