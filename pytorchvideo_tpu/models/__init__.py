@@ -67,6 +67,11 @@ from pytorchvideo_tpu.models.vision_transformers import (  # noqa: F401
     MultiscaleVisionTransformers,
     create_multiscale_vision_transformers,
 )
+from pytorchvideo_tpu.models.weight_init import (  # noqa: F401
+    init_net_weights,
+    init_resnet_weights,
+    init_vit_weights,
+)
 from pytorchvideo_tpu.models.x3d import (  # noqa: F401
     create_x3d,
     create_x3d_bottleneck_block,
