@@ -1,0 +1,199 @@
+"""SlowFast-R50 8x8 inference time breakdown by pathway ablation (TPU).
+
+SlowFast-R50 at B64 bf16 runs ~496 clips/s (65.71 GF/clip => ~32.6 TF/s,
+~18% of the chip's measured 183 TF/s bf16) while Slow-R50 alone hits ~46%.
+The fast pathway carries only ~1/5 of the FLOPs (65.71 - 54.52 ~= 11 GF)
+but the earlier slow-only-chained measurement (1095 clips/s) implies it
+costs as much wall time as the slow pathway: tiny channel counts (stem 8,
+stage outs 32/64/128/256) on 128-lane hardware.
+
+Method: clone the Net with one component swapped for a cheap stand-in of
+identical output shape (strided slice + broadcast so it stays
+data-dependent and can't be DCE'd/hoisted), re-init, BN-fold, time. The
+delta vs the full model attributes wall time to the ablated component.
+Stand-ins are not free, so deltas are lower bounds.
+
+Ablations:
+  full          the real model
+  fast_ablated  fast-pathway stem+stages replaced (fusion convs kept)
+  slow_ablated  slow-pathway stem+stages replaced
+  fuse_ablated  FuseFastToSlow replaced by shape-matched cheap concat
+
+Run: python benchmarks/slowfast_breakdown.py [batch]
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+if "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] += ",cpu"
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+
+
+class CheapStage(nn.Module):
+    """Shape-matched, data-dependent stand-in for a pathway stage.
+
+    Output (B, T//ts, H//ss, W//ss, out_channels): strided slice + single
+    learned 1-channel scale + broadcast. Costs ~nothing but cannot be
+    constant-folded (depends on the input tensor).
+    """
+
+    out_channels: int
+    spatial_stride: int = 1
+    temporal_stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s, t = self.spatial_stride, self.temporal_stride
+        y = x[:, ::t, ::s, ::s, :1]
+        scale = self.param("scale", nn.initializers.ones, (1,))
+        y = y * scale
+        return jnp.broadcast_to(
+            y, y.shape[:-1] + (self.out_channels,)
+        ).astype(x.dtype)
+
+
+class CheapFuse(nn.Module):
+    """Stand-in for FuseFastToSlow: concat a cheap projection of fast."""
+
+    out_channels: int
+    temporal_stride: int = 4
+
+    @nn.compact
+    def __call__(self, x: List, train: bool = False):
+        x_s, x_f = x[0], x[1]
+        y = x_f[:, :: self.temporal_stride, :, :, :1]
+        scale = self.param("scale", nn.initializers.ones, (1,))
+        y = jnp.broadcast_to(
+            y * scale, y.shape[:-1] + (self.out_channels,)
+        ).astype(x_f.dtype)
+        return [jnp.concatenate([x_s, y], axis=-1), x_f]
+
+
+def build_variant(which: str):
+    from pytorchvideo_tpu.models import hub
+
+    model = hub.slowfast_r50(model_num_class=400)
+    if which == "full":
+        return model
+
+    # SlowFast-R50 8x8 per-stage geometry (channels-last THWC).
+    # stage outs (slow, fast): stem (64, 8); res2 (256, 32); res3 (512, 64);
+    # res4 (1024, 128); res5 (2048, 256). Fusion adds 2*fast onto slow.
+    fast_outs = [8, 32, 64, 128, 256]
+    slow_outs = [64, 256, 512, 1024, 2048]
+    spatial = [2 * 2, 1, 2, 2, 2]  # stem conv+pool, then stage strides
+    fuse_outs = [16, 64, 128, 256]  # 2 * fast_out for stages 0..3
+
+    blocks = list(model.blocks)
+    for i in range(5):  # stem + 4 res stages carry pathways
+        mpw = blocks[i]
+        sub = list(mpw.multipathway_blocks)
+        fusion = mpw.multipathway_fusion
+        if which == "fast_ablated":
+            sub[1] = CheapStage(
+                out_channels=fast_outs[i], spatial_stride=spatial[i]
+            )
+        elif which == "slow_ablated":
+            sub[0] = CheapStage(
+                out_channels=slow_outs[i], spatial_stride=spatial[i]
+            )
+        elif which == "fuse_ablated" and fusion is not None:
+            fusion = CheapFuse(out_channels=fuse_outs[i])
+        blocks[i] = mpw.clone(
+            multipathway_blocks=tuple(sub), multipathway_fusion=fusion
+        )
+    return model.clone(blocks=tuple(blocks))
+
+
+def time_variant(which: str) -> Tuple[float, float]:
+    from pytorchvideo_tpu.accelerate import fold_conv_bn
+    from pytorchvideo_tpu.utils.profiling import time_jitted
+
+    model = build_variant(which)
+    cpu = jax.devices("cpu")[0]
+    device = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    example = [
+        jnp.zeros((1, 8, 224, 224, 3)),
+        jnp.zeros((1, 32, 224, 224, 3)),
+    ]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(0), example, False)
+        if "batch_stats" in variables:
+            variables = fold_conv_bn(variables)
+        variables = {
+            "params": jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), variables["params"]
+            ),
+            **{k: v for k, v in variables.items() if k != "params"},
+        }
+    variables = jax.device_put(variables, device)
+    x = [
+        jax.device_put(
+            jnp.asarray(
+                rng.uniform(-1, 1, (BATCH, 8, 224, 224, 3)), jnp.bfloat16
+            ),
+            device,
+        ),
+        jax.device_put(
+            jnp.asarray(
+                rng.uniform(-1, 1, (BATCH, 32, 224, 224, 3)), jnp.bfloat16
+            ),
+            device,
+        ),
+    ]
+
+    def fn(slow, fast):
+        return model.apply(variables, [slow, fast], False)
+
+    sec = time_jitted(fn, x[0], x[1], iters=10)
+    return sec, BATCH / sec
+
+
+def main():
+    results = {}
+    for which in ["full", "fast_ablated", "slow_ablated", "fuse_ablated"]:
+        try:
+            sec, cps = time_variant(which)
+            results[which] = sec
+            print(
+                json.dumps(
+                    {
+                        "variant": which,
+                        "batch": BATCH,
+                        "ms_per_batch": round(sec * 1e3, 2),
+                        "clips_per_sec": round(cps, 1),
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as e:  # keep going; partial data still useful
+            print(json.dumps({"variant": which, "error": str(e)}), flush=True)
+    if "full" in results:
+        full = results["full"]
+        attrib = {
+            k.replace("_ablated", ""): round((full - v) * 1e3, 2)
+            for k, v in results.items()
+            if k != "full"
+        }
+        print(
+            json.dumps({"attribution_ms_per_batch": attrib, "full_ms": round(full * 1e3, 2)}),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
