@@ -1,9 +1,10 @@
 """Benchmark: the full BASELINE.json north-star metric set.
 
 Emits ONE json line with the headline X3D-S number in "value"/"vs_baseline"
-(driver contract) plus a "submetrics" record carrying the other two named
-metrics: SlowFast-R50 inference clips/s/chip and the decode+transform
-pipeline FPS. Anchors and their provenance live in BASELINE.json.published.
+(driver contract) plus a "submetrics" record carrying the other named
+metrics: SlowFast-R50 and MViT-B 16x4 inference clips/s/chip and the
+decode+transform pipeline FPS. Anchors and their provenance live in
+BASELINE.json.published.
 
 Methodology notes (load-bearing in this environment):
 - The axon TPU tunnel's ``block_until_ready`` does not reliably reflect
@@ -50,6 +51,7 @@ BASELINES = {
     "x3d_s": 2680.0,
     "slowfast_r50": 496.0,
     "pipeline_fps": 160.0,
+    "mvit_base_16x4": 323.0,
 }
 
 N_SMALL = 1
@@ -149,6 +151,35 @@ def bench_slowfast_r50(device, cpu):
         ),
     ]
     return _measure_model(model, None, xs, variables, device)
+
+
+def bench_mvit(device, cpu):
+    """MViT-B 16x4, batch 16 (measured per-chip optimum), bf16, BN-fused
+    deploy form. Exercises the Pallas pooled-attention + token-pool kernels
+    (PVT_* auto dispatch on TPU)."""
+    from pytorchvideo_tpu.accelerate import fuse_bn_mvit
+    from pytorchvideo_tpu.models import hub
+
+    model = hub.mvit_base_16x4()
+    B, T, S = 16, 16, 224
+    with jax.default_device(cpu):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, T, S, S, 3)), False
+        )
+        if "batch_stats" in variables:
+            variables = fuse_bn_mvit(variables)
+        variables = {
+            "params": jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), variables["params"]
+            ),
+            **{k: v for k, v in variables.items() if k != "params"},
+        }
+    variables = jax.device_put(variables, device)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        jnp.asarray(rng.uniform(-1, 1, (B, T, S, S, 3)), jnp.bfloat16), device
+    )
+    return _measure_model(model, None, x, variables, device)
 
 
 def bench_pipeline_fps():
@@ -267,6 +298,7 @@ def main():
 
     x3d = bench_x3d_s(device, cpu)
     slowfast = bench_slowfast_r50(device, cpu)
+    mvit = bench_mvit(device, cpu)
     pipeline = bench_pipeline_fps()
 
     print(
@@ -282,6 +314,13 @@ def main():
                         "unit": "clips/s",
                         "vs_baseline": round(
                             slowfast / BASELINES["slowfast_r50"], 3
+                        ),
+                    },
+                    "mvit_base_16x4_inference_clips_per_sec_per_chip": {
+                        "value": round(mvit, 2),
+                        "unit": "clips/s",
+                        "vs_baseline": round(
+                            mvit / BASELINES["mvit_base_16x4"], 3
                         ),
                     },
                     "decode_transform_pipeline_fps": {
