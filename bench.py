@@ -296,10 +296,22 @@ def main():
     device = _devices_with_timeout(float(os.environ.get("BENCH_INIT_TIMEOUT", 900)))[0]
     cpu = jax.devices("cpu")[0]
 
-    x3d = bench_x3d_s(device, cpu)
-    slowfast = bench_slowfast_r50(device, cpu)
-    mvit = bench_mvit(device, cpu)
-    pipeline = bench_pipeline_fps()
+    errors = {}
+
+    def run(name, fn, *args):
+        # One failing model must not take down the whole bench line (e.g.
+        # a kernel that stops lowering on the real chip): record the error
+        # as a 0-valued submetric instead.
+        try:
+            return fn(*args)
+        except Exception as e:  # pragma: no cover
+            errors[name] = f"{type(e).__name__}: {e}"[:400]
+            return 0.0
+
+    x3d = run("x3d_s", bench_x3d_s, device, cpu)
+    slowfast = run("slowfast_r50", bench_slowfast_r50, device, cpu)
+    mvit = run("mvit_base_16x4", bench_mvit, device, cpu)
+    pipeline = run("pipeline_fps", bench_pipeline_fps)
 
     print(
         json.dumps(
@@ -331,6 +343,7 @@ def main():
                         ),
                     },
                 },
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -24,9 +24,21 @@ attention kernel:
   DCEs it; only the transposed convs run).
 
 Supported geometry: odd kernels with pad = k//2 per axis and T-kernel
-covered by the tap refs (kt <= 3). Everything else falls back to the XLA
-grouped conv. ``PVT_TOKEN_POOL`` = ``pallas`` | ``xla`` | ``auto`` picks
-the path (auto = Pallas on TPU).
+covered by the tap refs (kt <= 3); on HARDWARE additionally stride 1 on
+every axis — Mosaic rejects ``vector.extract_strided_slice`` with stride
+> 1 (verified on v5e: "expected strides to be confined to [1, 2)"), so
+strided pools only run the Pallas path in interpret mode (tests).
+Strided dispatch instead uses:
+
+- sh >= kh, sw >= kw (the MViT kv pools, stride 8/4, kernel 3): the
+  disjoint-window rewrite ``_window_depthwise_pool`` — pad/slice/reshape
+  + weighted sum, no grouped conv, so the row-major token layout is kept
+  and XLA inserts no channel-minor relayout copies.
+- everything else (q/skip pools, stride 2 < kernel 3): the XLA grouped
+  conv (small grids; the relayout copies are cheap at 14x14 and below).
+
+``PVT_TOKEN_POOL`` = ``pallas`` | ``xla`` | ``interpret`` | ``auto``
+picks the path (auto = Pallas on TPU for stride-1, else the above).
 """
 
 from __future__ import annotations
@@ -146,6 +158,71 @@ def _supported(kernel: Size3, stride: Size3, padding: Size3) -> bool:
         and 1 <= kw <= 5
         and all(p == k // 2 for k, p in zip(kernel, padding))
     )
+
+
+def _hw_supported(kernel: Size3, stride: Size3, padding: Size3) -> bool:
+    """Geometry the kernel can LOWER on real TPU hardware (Mosaic).
+
+    Strided taps compile in interpret mode but Mosaic rejects
+    ``vector.extract_strided_slice`` with stride > 1 ("expected strides to
+    be confined to [1, 2)") — measured on v5e with the MViT kv pool
+    (stride 8). Hardware dispatch therefore requires stride 1 everywhere;
+    strided pools take the XLA paths (disjoint-window rewrite below, or
+    grouped conv)."""
+    return _supported(kernel, stride, padding) and all(
+        int(s) == 1 for s in stride
+    )
+
+
+def _window_pool_applicable(kernel: Size3, stride: Size3) -> bool:
+    kt, kh, kw = kernel
+    st, sh, sw = stride
+    return st == 1 and sh >= kh and sw >= kw and (sh > 1 or sw > 1)
+
+
+def _window_depthwise_pool(x, w_packed, stride: Size3, padding: Size3):
+    """Disjoint-window depthwise pool: exact rewrite for sh>=kh, sw>=kw,
+    st==1 (the MViT kv pools: kernel 3, stride 8/4).
+
+    pad -> slice -> reshape (h_out, sh, w_out, sw, C) -> take the leading
+    (kh, kw) taps -> weighted sum. Pure reshape/slice/elementwise ops, so
+    XLA keeps the packed row-major token layout end to end — no
+    ``feature_group_count=C`` conv, hence none of the channel-minor
+    relayout copies that bracket every grouped conv on XLA:TPU (the ~0.62
+    ms/pool copies at MViT-B block 1, benchmarks/mvit_breakdown.py).
+    Linear in (x, w): JAX AD differentiates it without a custom VJP.
+    """
+    kt, kh, kw = (int(k) for k in w_packed.shape[:3])
+    st, sh, sw = (int(s) for s in stride)
+    pt, ph, pw = (int(p) for p in padding)
+    B, T, H, W, C = x.shape
+    t_out = pool_out_size(T, kt, st, pt)
+    h_out = pool_out_size(H, kh, sh, ph)
+    w_out = pool_out_size(W, kw, sw, pw)
+    hp = max(H + 2 * ph, h_out * sh)
+    wp = max(W + 2 * pw, w_out * sw)
+    xp = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (pt, pt),
+            (ph, hp - H - ph),
+            (pw, wp - W - pw),
+            (0, 0),
+        ),
+    )
+    xp = xp[:, :, : h_out * sh, : w_out * sw, :]
+    xp = xp.reshape(B, T + 2 * pt, h_out, sh, w_out, sw, C)
+    win = xp[:, :, :, :kh, :, :kw, :].astype(jnp.float32)
+    w = w_packed.astype(jnp.float32)
+    out = None
+    for dt in range(kt):
+        # spatial taps weighted by this T-tap's (kh, kw, C) weight plane,
+        # then the T shift: output row t reads padded T row t + dt.
+        s_dt = (win * w[dt][None, None, None, :, None, :, :]).sum(axis=(3, 5))
+        s_dt = s_dt[:, dt : dt + t_out]
+        out = s_dt if out is None else out + s_dt
+    return out.astype(x.dtype)
 
 
 def _pool_pallas_call(
@@ -445,7 +522,7 @@ def _token_pool_bwd(stride, padding, interpret, res, g):
     use_pallas = interpret or (
         _HAS_PALLAS
         and jax.default_backend() == "tpu"
-        and _supported(kernel_size, stride, padding)
+        and _hw_supported(kernel_size, stride, padding)
         and all(k % 2 == 1 for k in kernel_size)
     )
     if use_pallas:
@@ -550,13 +627,16 @@ def avg_token_pool(
             use_pallas = (
                 _HAS_PALLAS
                 and jax.default_backend() == "tpu"
-                and _supported(kernel_size, stride, padding)
+                and _hw_supported(kernel_size, stride, padding)
             )
     if use_pallas:
-        if not _supported(kernel_size, stride, padding):
+        if not (
+            interpret or _hw_supported(kernel_size, stride, padding)
+        ) or not _supported(kernel_size, stride, padding):
             raise NotImplementedError(
-                f"token-pool kernel supports odd k<=5 (kt<=3) with p=k//2; "
-                f"got kernel={kernel_size} padding={padding}"
+                f"token-pool kernel supports odd k<=5 (kt<=3) with p=k//2, "
+                f"stride 1 on hardware (Mosaic strided-slice limit); got "
+                f"kernel={kernel_size} stride={stride} padding={padding}"
             )
         return _avg_pool_ad(x, kernel_size, stride, padding, interpret)
     return avg_pool3d(x, kernel_size, stride, padding)
@@ -585,13 +665,16 @@ def max_token_pool(
             use_pallas = (
                 _HAS_PALLAS
                 and jax.default_backend() == "tpu"
-                and _supported(kernel_size, stride, padding)
+                and _hw_supported(kernel_size, stride, padding)
             )
     if use_pallas:
-        if not _supported(kernel_size, stride, padding):
+        if not (
+            interpret or _hw_supported(kernel_size, stride, padding)
+        ) or not _supported(kernel_size, stride, padding):
             raise NotImplementedError(
-                f"token-pool kernel supports odd k<=5 (kt<=3) with p=k//2; "
-                f"got kernel={kernel_size} padding={padding}"
+                f"token-pool kernel supports odd k<=5 (kt<=3) with p=k//2, "
+                f"stride 1 on hardware (Mosaic strided-slice limit); got "
+                f"kernel={kernel_size} stride={stride} padding={padding}"
             )
         return _max_pool_ad(x, kernel_size, stride, padding, interpret)
     return _xla_max_pool(x, kernel_size, stride, padding)
@@ -618,6 +701,12 @@ def depthwise_token_pool(
             use_pallas = True
         elif mode == "xla":
             use_pallas = False
+        elif mode == "window":
+            # diagnostic: disjoint-window rewrite where applicable, grouped
+            # conv elsewhere — no Pallas anywhere.
+            if _window_pool_applicable(kernel, stride):
+                return _window_depthwise_pool(x, w_packed, stride, padding)
+            return _xla_depthwise_pool(x, w_packed, stride, padding)
         elif mode == "interpret":
             # CPU end-to-end testing of the Pallas wiring (weight tiling,
             # split-token threading) without a TPU.
@@ -626,13 +715,18 @@ def depthwise_token_pool(
             use_pallas = (
                 _HAS_PALLAS
                 and jax.default_backend() == "tpu"
-                and _supported(kernel, stride, padding)
+                and _hw_supported(kernel, stride, padding)
             )
     if use_pallas:
-        if not _supported(kernel, stride, padding):
+        if not (interpret or _hw_supported(kernel, stride, padding)) or not _supported(
+            kernel, stride, padding
+        ):
             raise NotImplementedError(
-                f"token-pool kernel supports odd k<=5 (kt<=3) with p=k//2; "
-                f"got kernel={kernel} padding={padding}"
+                f"token-pool kernel supports odd k<=5 (kt<=3) with p=k//2, "
+                f"stride 1 on hardware (Mosaic strided-slice limit); got "
+                f"kernel={kernel} stride={stride} padding={padding}"
             )
         return _token_pool_ad(x, w_packed, stride, padding, interpret)
+    if _window_pool_applicable(kernel, stride):
+        return _window_depthwise_pool(x, w_packed, stride, padding)
     return _xla_depthwise_pool(x, w_packed, stride, padding)

@@ -67,6 +67,59 @@ def test_dispatch_falls_back_on_cpu():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "shape,kernel,stride",
+    [
+        # disjoint-window rewrite geometries (sh>=kh, sw>=kw): the MViT kv
+        # pools at every depth, plus a non-divisible edge case
+        ((2, 8, 56, 56, 96), (3, 3, 3), (1, 8, 8)),
+        ((2, 8, 28, 28, 192), (3, 3, 3), (1, 4, 4)),
+        ((2, 4, 14, 14, 384), (1, 3, 3), (1, 4, 4)),
+        ((1, 5, 13, 11, 32), (3, 3, 3), (1, 4, 4)),
+        ((1, 3, 9, 9, 16), (1, 1, 1), (1, 2, 3)),
+    ],
+)
+def test_window_pool_matches_grouped_conv(shape, kernel, stride):
+    from pytorchvideo_tpu.ops.token_pool import (
+        _window_depthwise_pool,
+        _window_pool_applicable,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    w = jnp.asarray(rng.normal(size=kernel + (shape[-1],)), jnp.float32)
+    pad = tuple(k // 2 for k in kernel)
+    assert _window_pool_applicable(kernel, stride)
+    ref = _xla_depthwise_pool(x, w, stride, pad)
+    out = _window_depthwise_pool(x, w, stride, pad)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # gradients: linear op, plain JAX AD must match the conv vjp
+    gx1, gw1 = jax.grad(
+        lambda a, b: jnp.sum(jnp.sin(_window_depthwise_pool(a, b, stride, pad))),
+        (0, 1),
+    )(x, w)
+    gx2, gw2 = jax.grad(
+        lambda a, b: jnp.sum(jnp.sin(_xla_depthwise_pool(a, b, stride, pad))),
+        (0, 1),
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=1e-3)
+
+
+def test_strided_hw_dispatch_rejects_pallas():
+    # Mosaic cannot lower strided vector slices: forced-pallas strided
+    # geometry must raise (interpret mode stays allowed for tests).
+    from pytorchvideo_tpu.ops.token_pool import _hw_supported
+
+    assert not _hw_supported((3, 3, 3), (1, 8, 8), (1, 1, 1))
+    assert _hw_supported((3, 3, 3), (1, 1, 1), (1, 1, 1))
+    x = jnp.zeros((1, 4, 16, 16, 16))
+    w = jnp.zeros((3, 3, 3, 16))
+    with pytest.raises(NotImplementedError):
+        depthwise_token_pool(x, w, (1, 8, 8), (1, 1, 1), use_pallas=True)
+
+
 def test_unsupported_geometry_raises_under_forced_pallas():
     x = jnp.zeros((1, 4, 8, 8, 16))
     w = jnp.zeros((4, 3, 3, 16))  # kt=4 unsupported
