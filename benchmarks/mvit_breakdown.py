@@ -29,6 +29,24 @@ the repo history):
       25k-token tensors around every early-block pool (3 x 0.62 ms at
       block 1 alone) plus the patch-conv input relayout (1.2 ms).
 
+TOKEN-POOL KERNEL OUTCOME (late round 2): the Pallas depthwise token-pool
+(ops/token_pool.py) does NOT lower on real hardware for strided pools —
+Mosaic rejects vector.extract_strided_slice with stride > 1 — and where it
+does lower (stride-1 q pools) it is a measured net e2e LOSS: same-session
+v5e A/B at b16 gave 309.8 clips/s (Pallas stride-1 + window kv pools) vs
+320.3 (all-XLA grouped conv) vs 320.2 (disjoint-window rewrite for the
+kv pools, no grouped conv). Two conclusions: (a) XLA's fused stride-1
+grouped conv already beats the VMEM-pad tap loop; (b) the disjoint-window
+rewrite is exactly perf-neutral, i.e. the grouped-conv relayout copies at
+the kv pools are NOT the recoverable ~few-ms this trace hoped — the
+copies XLA still inserts around the strided reshape-take match what the
+conv path paid. auto dispatch therefore stays on the XLA paths.
+
+MEASUREMENT VARIANCE NOTE: those 320s were measured in a session where
+the chip state ran globally ~13% below the numbers recorded above
+(323->367 era); cross-session clips/s on this tunnel-attached chip moves
+by +/-15%, so only same-session A/Bs are decision-grade.
+
 Dead ends measured so far (do not re-try blindly):
   - optimization_barrier around pool convs: 367 -> 291 clips/s (the
     "slow" conv fusions contain real producer work).

@@ -37,8 +37,16 @@ Strided dispatch instead uses:
 - everything else (q/skip pools, stride 2 < kernel 3): the XLA grouped
   conv (small grids; the relayout copies are cheap at 14x14 and below).
 
-``PVT_TOKEN_POOL`` = ``pallas`` | ``xla`` | ``interpret`` | ``auto``
-picks the path (auto = Pallas on TPU for stride-1, else the above).
+``PVT_TOKEN_POOL`` = ``pallas`` | ``xla`` | ``window`` | ``interpret`` |
+``auto`` picks the path. MEASURED OUTCOME (v5e, MViT-B 16x4 b16, same
+session): Pallas pools where they lower (stride-1 q pools) are a net e2e
+loss — auto-with-Pallas 309.8 clips/s vs 320.3 (xla) / 320.2 (window);
+the VMEM pad + tap loop doesn't beat XLA's fused stride-1 grouped conv,
+and the relayout copies the kernel was built to remove sit mostly around
+the STRIDED pools, where Mosaic can't lower it. ``auto`` therefore uses
+the XLA paths everywhere (window rewrite for disjoint strides — measured
+neutral, kept for its layout independence); ``pallas`` stays as the
+explicit opt-in for future Mosaic versions.
 """
 
 from __future__ import annotations
@@ -624,11 +632,11 @@ def avg_token_pool(
         elif mode == "interpret":
             use_pallas, interpret = True, True
         else:
-            use_pallas = (
-                _HAS_PALLAS
-                and jax.default_backend() == "tpu"
-                and _hw_supported(kernel_size, stride, padding)
-            )
+            # auto: Pallas pools measured a net e2e LOSS on v5e even where
+            # they lower (stride-1: MViT-B b16 309.8 vs 320.3 clips/s with
+            # the XLA paths, same session) — keep XLA by default; `pallas`
+            # opts in explicitly.
+            use_pallas = False
     if use_pallas:
         if not (
             interpret or _hw_supported(kernel_size, stride, padding)
@@ -662,11 +670,11 @@ def max_token_pool(
         elif mode == "interpret":
             use_pallas, interpret = True, True
         else:
-            use_pallas = (
-                _HAS_PALLAS
-                and jax.default_backend() == "tpu"
-                and _hw_supported(kernel_size, stride, padding)
-            )
+            # auto: Pallas pools measured a net e2e LOSS on v5e even where
+            # they lower (stride-1: MViT-B b16 309.8 vs 320.3 clips/s with
+            # the XLA paths, same session) — keep XLA by default; `pallas`
+            # opts in explicitly.
+            use_pallas = False
     if use_pallas:
         if not (
             interpret or _hw_supported(kernel_size, stride, padding)
@@ -712,11 +720,11 @@ def depthwise_token_pool(
             # split-token threading) without a TPU.
             use_pallas, interpret = True, True
         else:
-            use_pallas = (
-                _HAS_PALLAS
-                and jax.default_backend() == "tpu"
-                and _hw_supported(kernel, stride, padding)
-            )
+            # auto: Pallas pools measured a net e2e LOSS on v5e even where
+            # they lower (stride-1: MViT-B b16 309.8 vs 320.3 clips/s with
+            # the XLA paths, same session) — keep XLA by default; `pallas`
+            # opts in explicitly.
+            use_pallas = False
     if use_pallas:
         if not (interpret or _hw_supported(kernel, stride, padding)) or not _supported(
             kernel, stride, padding
