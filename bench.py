@@ -19,7 +19,9 @@ Methodology notes (load-bearing in this environment):
   256→3570 clips/s); SlowFast-R50 batch 64 (64 beat 32/128 in the round-1
   sweep).
 - Pipeline FPS is host-side (decode+transform through BatchLoader with the
-  plan/load parallel split, 4 workers) — it exercises no TPU.
+  plan/load parallel split; workers adapt to the host core count) — it
+  exercises no TPU and runs FIRST, before backend init, because the TPU
+  tunnel client's service threads were measured to cut it 4x otherwise.
 """
 
 import json
@@ -240,18 +242,28 @@ def bench_pipeline_fps():
             for i, p in enumerate(paths):
                 f.write(f"{p} {i}\n")
 
-        ds = labeled_video_dataset(
-            csv,
-            make_clip_sampler("uniform", 0.5),
-            video_sampler=SequentialSampler,
-            transform=transform,
-        )
-        loader = BatchLoader(ds, batch_size=4, num_workers=4, drop_last=False)
+        # Worker count adapts to the host: measured on the 1-core dev box
+        # the loader peaks at 2 workers (0w 149 / 1w 254 / 2w 332 / 4w 200
+        # fps — 4 threads thrash one core); larger hosts take 4.
+        num_workers = 2 if (os.cpu_count() or 1) < 4 else 4
         src_frames_per_clip = int(0.5 * fps)
-        t0 = time.perf_counter()
-        n_clips = sum(b["video"].shape[0] for b in loader)
-        dt = time.perf_counter() - t0
-        return n_clips * src_frames_per_clip / dt
+        best = 0.0
+        for _ in range(2):  # best-of-2: absorbs first-pass warmup (thread
+            # spawn, page cache) like the min-of-trials device timings
+            ds = labeled_video_dataset(
+                csv,
+                make_clip_sampler("uniform", 0.5),
+                video_sampler=SequentialSampler,
+                transform=transform,
+            )
+            loader = BatchLoader(
+                ds, batch_size=4, num_workers=num_workers, drop_last=False
+            )
+            t0 = time.perf_counter()
+            n_clips = sum(b["video"].shape[0] for b in loader)
+            dt = time.perf_counter() - t0
+            best = max(best, n_clips * src_frames_per_clip / dt)
+        return best
 
 
 def _devices_with_timeout(timeout_s: float):
@@ -293,9 +305,6 @@ def _devices_with_timeout(timeout_s: float):
 
 
 def main():
-    device = _devices_with_timeout(float(os.environ.get("BENCH_INIT_TIMEOUT", 900)))[0]
-    cpu = jax.devices("cpu")[0]
-
     errors = {}
 
     def run(name, fn, *args):
@@ -308,10 +317,17 @@ def main():
             errors[name] = f"{type(e).__name__}: {e}"[:400]
             return 0.0
 
+    # Host-only pipeline bench runs FIRST, before any TPU backend init:
+    # the tunnel client's service threads compete for host CPU and were
+    # measured to cut this host-side number 4x when it ran last.
+    pipeline = run("pipeline_fps", bench_pipeline_fps)
+
+    device = _devices_with_timeout(float(os.environ.get("BENCH_INIT_TIMEOUT", 900)))[0]
+    cpu = jax.devices("cpu")[0]
+
     x3d = run("x3d_s", bench_x3d_s, device, cpu)
     slowfast = run("slowfast_r50", bench_slowfast_r50, device, cpu)
     mvit = run("mvit_base_16x4", bench_mvit, device, cpu)
-    pipeline = run("pipeline_fps", bench_pipeline_fps)
 
     print(
         json.dumps(
