@@ -19,6 +19,22 @@ Ablations:
   slow_ablated  slow-pathway stem+stages replaced
   fuse_ablated  FuseFastToSlow replaced by shape-matched cheap concat
 
+Recorded run (v5e, B64, bf16 deploy form, 2026-08-18 session):
+  full 116.57 ms/batch (549.0 clips/s) | fast_ablated 64.35 |
+  slow_ablated 77.60 | fuse_ablated 119.49 (fusion ~free; -2.92 is
+  stand-in noise). Attribution: fast 52.22 ms, slow 38.97 ms,
+  residual (head/pool/stand-in overlap) ~25.4 ms.
+  => fast pathway: 11.19 GF/clip over 52.22 ms = 13.7 TF/s (~7% of the
+  183 TF/s measured bf16 peak) vs slow pathway 54.52 GF over 38.97 ms
+  = 89.5 TF/s (49%). The fast pathway's channel ladder (8/32/64/128/256)
+  sits under the 128-lane tile on nearly every conv: output channels are
+  lane-padded (C=8 stores 16x its bytes) and each implicit GEMM's N
+  dimension fills <=1/4 of the MXU lanes. A structural fix requires an
+  exact packed-channel (space-to-depth) rewrite of the whole pathway or a
+  fused Pallas bottleneck kernel keeping C-minor tiles in VMEM — both are
+  model-structure rewrites, not op swaps; documented as future work in
+  benchmarks/README.md.
+
 Run: python benchmarks/slowfast_breakdown.py [batch]
 """
 
