@@ -253,6 +253,8 @@ def test_pallas_bwd_matches_xla_grads(shape, kernel, stride):
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=5e-3)
 
 
+@pytest.mark.slow  # ~60 s: full-model grads twice in interpret mode; the
+# forward sibling above stays in the fast tier
 def test_full_mvit_grads_interpret_matches_xla_pool(monkeypatch):
     """Training-path wiring: gradients through a small MViT with the Pallas
     pool (interpret) must match the XLA-conv pool path."""
