@@ -21,6 +21,7 @@ over whatever mesh axes actually shard the reduced dimension.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -61,6 +62,15 @@ def shard_by_rule(
     ``reduction`` factor on that dimension).
     """
     if not _HAS_CUSTOM_PARTITIONING:  # pragma: no cover
+        return fn
+
+    # Single-device processes cannot shard, so the wrapper is pure cost:
+    # custom_partitioning is an opaque call boundary to XLA's fusion passes
+    # (measured v5e, MViT-B 16x4 b16: 268 clips/s wrapped vs 289 bypassed —
+    # the round-2 0.829x bench regression was exactly this wrapper landing
+    # in acb5426). PVT_SPMD_WRAP=1 forces the wrapper for debugging.
+    wrap = os.environ.get("PVT_SPMD_WRAP", "auto")
+    if wrap == "0" or (wrap == "auto" and jax.device_count() == 1):
         return fn
 
     cp = custom_partitioning(fn)

@@ -28,25 +28,21 @@ covered by the tap refs (kt <= 3); on HARDWARE additionally stride 1 on
 every axis — Mosaic rejects ``vector.extract_strided_slice`` with stride
 > 1 (verified on v5e: "expected strides to be confined to [1, 2)"), so
 strided pools only run the Pallas path in interpret mode (tests).
-Strided dispatch instead uses:
+Strided pools therefore dispatch to the plain XLA grouped conv.
 
-- sh >= kh, sw >= kw (the MViT kv pools, stride 8/4, kernel 3): the
-  disjoint-window rewrite ``_window_depthwise_pool`` — pad/slice/reshape
-  + weighted sum, no grouped conv, so the row-major token layout is kept
-  and XLA inserts no channel-minor relayout copies.
-- everything else (q/skip pools, stride 2 < kernel 3): the XLA grouped
-  conv (small grids; the relayout copies are cheap at 14x14 and below).
-
-``PVT_TOKEN_POOL`` = ``pallas`` | ``xla`` | ``window`` | ``interpret`` |
-``auto`` picks the path. MEASURED OUTCOME (v5e, MViT-B 16x4 b16, same
-session): Pallas pools where they lower (stride-1 q pools) are a net e2e
-loss — auto-with-Pallas 309.8 clips/s vs 320.3 (xla) / 320.2 (window);
-the VMEM pad + tap loop doesn't beat XLA's fused stride-1 grouped conv,
-and the relayout copies the kernel was built to remove sit mostly around
-the STRIDED pools, where Mosaic can't lower it. ``auto`` therefore uses
-the XLA paths everywhere (window rewrite for disjoint strides — measured
-neutral, kept for its layout independence); ``pallas`` stays as the
-explicit opt-in for future Mosaic versions.
+``PVT_TOKEN_POOL`` = ``pallas`` | ``xla`` | ``window`` | ``grouped`` |
+``interpret`` | ``auto`` picks the path. MEASURED OUTCOMES:
+- Round 2 (degraded session, MViT-B 16x4 b16): Pallas pools where they
+  lower (stride-1 q pools) are a net e2e loss — auto-with-Pallas 309.8
+  clips/s vs 320.3 (grouped conv); the VMEM pad + tap loop doesn't beat
+  XLA's fused stride-1 grouped conv.
+- Round 3 (healthy session, same shapes): the disjoint-window rewrite
+  ``_window_depthwise_pool`` — which round 2 measured "neutral" (320.2 vs
+  320.3) and shipped as the default for stride>=kernel kv pools — is a 7%
+  whole-model LOSS: 268 clips/s (window) vs 288.5 (grouped). It was the
+  round-2 bench-gate regression (BENCH_r02 mvit 0.829x the anchor).
+``auto`` therefore uses the XLA grouped conv everywhere; ``window`` and
+``pallas`` stay as explicit diagnostics/opt-ins for future toolchains.
 """
 
 from __future__ import annotations
@@ -715,6 +711,10 @@ def depthwise_token_pool(
             if _window_pool_applicable(kernel, stride):
                 return _window_depthwise_pool(x, w_packed, stride, padding)
             return _xla_depthwise_pool(x, w_packed, stride, padding)
+        elif mode == "grouped":
+            # diagnostic: plain XLA grouped conv everywhere (the pre-round-2
+            # configuration, no window rewrite) — for regression A/Bs.
+            return _xla_depthwise_pool(x, w_packed, stride, padding)
         elif mode == "interpret":
             # CPU end-to-end testing of the Pallas wiring (weight tiling,
             # split-token threading) without a TPU.
@@ -735,6 +735,10 @@ def depthwise_token_pool(
                 f"kernel={kernel} stride={stride} padding={padding}"
             )
         return _token_pool_ad(x, w_packed, stride, padding, interpret)
-    if _window_pool_applicable(kernel, stride):
-        return _window_depthwise_pool(x, w_packed, stride, padding)
+    # Plain grouped conv for every non-Pallas pool. The disjoint-window
+    # rewrite was measured "neutral" in a round-2 degraded session but is a
+    # 7% whole-model LOSS in a healthy one (round-3 same-session A/B,
+    # MViT-B 16x4 b16: grouped 288.5 clips/s vs window 268; the window
+    # rewrite was the round-2 bench regression). PVT_TOKEN_POOL=window keeps
+    # it as a diagnostic.
     return _xla_depthwise_pool(x, w_packed, stride, padding)
