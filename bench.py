@@ -2,9 +2,9 @@
 
 Emits ONE json line with the headline X3D-S number in "value"/"vs_baseline"
 (driver contract) plus a "submetrics" record carrying the other named
-metrics: SlowFast-R50 and MViT-B 16x4 inference clips/s/chip and the
-decode+transform pipeline FPS. Anchors and their provenance live in
-BASELINE.json.published.
+metrics: X3D-XS, SlowFast-R50 and MViT-B 16x4 inference clips/s/chip, the
+X3D-S bf16 train-step clips/s/chip, and the decode+transform pipeline FPS.
+Anchors and their provenance live in BASELINE.json.published.
 
 Methodology notes (load-bearing in this environment):
 - The axon TPU tunnel's ``block_until_ready`` does not reliably reflect
@@ -12,12 +12,22 @@ Methodology notes (load-bearing in this environment):
   whose next iteration depends on a full-output reduction of the previous
   one (DCE-proof, dispatch-free), differencing two trip counts to cancel
   dispatch/readback overhead.
+- STATISTICS: every device metric is the MEDIAN of >=3 repeats taken
+  INTERLEAVED across models (compile once per model, then round-robin the
+  timed passes), with the spread (max-min) reported next to it. A single
+  measurement on this tunnel-attached chip is not decision-grade.
+- CALIBRATION: the session's chip health is recorded as two probes —
+  bf16 square-GEMM TFLOP/s (MXU) and a 512 MB streaming-copy GB/s (HBM) —
+  because the tunnel has been observed to bind different chip hardware
+  across sessions (round-3 finding: one session probed 183 TF/s / ~819
+  GB/s = v5e spec, another 222 TF/s / 1738 GB/s; raw clips/s move by
+  10-20% between them with identical code). Judge cross-session deltas
+  against these probes before attributing them to code.
 - bf16 weights/activations (MXU path); deploy-form weights (accelerate
   fold_conv_bn folds the BN affine into conv kernels — the framework's
   production inference path).
-- X3D-S batch 128 (measured sweet spot on one chip: 64→2850, 128→3750,
-  256→3570 clips/s); SlowFast-R50 batch 64 (64 beat 32/128 in the round-1
-  sweep).
+- Batch sizes: X3D-XS 256, X3D-S 128, SlowFast-R50 64, MViT-B 16 — each
+  the measured per-chip sweet spot from the round-1/2 sweeps.
 - Pipeline FPS is host-side (decode+transform through BatchLoader with the
   plan/load parallel split; workers adapt to the host core count) — it
   exercises no TPU and runs FIRST, before backend init, because the TPU
@@ -26,6 +36,7 @@ Methodology notes (load-bearing in this environment):
 
 import json
 import os
+import statistics
 import tempfile
 import time
 
@@ -40,30 +51,66 @@ import jax.numpy as jnp
 import numpy as np
 
 # Anchors (provenance recorded in BASELINE.json "published"):
-#  - x3d_s: round-1 bench.py measurement (v5e chip, batch 64, bf16 deploy form)
+#  - x3d_s: round-1 bench.py measurement (v5e chip, batch 64, bf16 deploy
+#    form; that session's chip probed 183 TF/s bf16).
+#  - x3d_xs: round-2 model_throughput.py measurement (B256, bf16 deploy;
+#    benchmarks/README.md) — BASELINE.json config #1's geometry.
 #  - slowfast_r50: corrected round-2 measurement (B64, bf16 deploy). The
 #    round-1 1092 was invalidated: its timing loop chained only the slow
 #    pathway, so XLA hoisted the fast pathway out of the loop (LICM) and
 #    the measurement covered a fraction of the model (1095 vs 496 side by
 #    side on v5e; see utils/profiling.py time_jitted note).
+#  - mvit_base_16x4: round-1 anchor (323). Round 2's layout work measured
+#    367 same-session but the shipped default regressed to 268 (window
+#    kv-pool rewrite, reverted round 3 — see ops/token_pool.py docstring).
+#  - x3d_s_train_bf16: round-3 corrected measurement (B64, bf16 compute,
+#    SGD+momentum + MixUp + SoftTarget CE, state carried through the
+#    timing loop). Round-2's 1661 was invalidated: its timing loop's
+#    output depended only on loss + step counter, so XLA dead-code-
+#    eliminated the entire backward pass + optimizer update (forward-only
+#    measurement). See utils/profiling.py time_stateful.
 #  - pipeline_fps: round-2 first measurement on the 1-core dev box with the
 #    serialized round-1 loader semantics (1 worker); beating it = real
 #    decode parallelism.
 BASELINES = {
+    "x3d_xs": 14410.0,
     "x3d_s": 2680.0,
     "slowfast_r50": 496.0,
     "pipeline_fps": 160.0,
     "mvit_base_16x4": 323.0,
+    "x3d_s_train_bf16": 456.6,
 }
 
 N_SMALL = 1
 N_BIG = 9
+N_REPEATS = 3  # interleaved repeats per metric
+N_TRIALS = 2  # min-of-trials inside one repeat (absorbs dispatch jitter)
 
 
-def _measure_model(model, example, batch_inputs, variables, device):
-    """clips/s for model.apply on batch_inputs (list or single array) using
-    the trip-count-differenced on-device loop."""
+def _make_sampler(fn_jitted, args, leading):
+    """Compile+warm ``fn_jitted(args..., n)`` (an on-device fori_loop over
+    the model step) and return a zero-compile ``sample()`` that yields one
+    clips/s measurement via trip-count differencing."""
+    float(fn_jitted(*args, N_SMALL))
+    float(fn_jitted(*args, N_BIG))
 
+    def sample():
+        best_small = best_big = float("inf")
+        for _ in range(N_TRIALS):
+            t0 = time.perf_counter()
+            float(fn_jitted(*args, N_SMALL))
+            best_small = min(best_small, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(fn_jitted(*args, N_BIG))
+            best_big = min(best_big, time.perf_counter() - t0)
+        diff = best_big - best_small
+        assert diff > 0, f"timing below noise floor (diff={diff:.6f}s)"
+        return leading / (diff / (N_BIG - N_SMALL))
+
+    return sample
+
+
+def _model_loop(model):
     @jax.jit
     def loop(variables, xs, n):
         def body(i, carry):
@@ -81,25 +128,7 @@ def _measure_model(model, example, batch_inputs, variables, device):
         _, acc = jax.lax.fori_loop(0, n, body, (xs, jnp.float32(0)))
         return acc
 
-    float(loop(variables, batch_inputs, N_SMALL))
-    float(loop(variables, batch_inputs, N_BIG))
-    best_small = best_big = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(loop(variables, batch_inputs, N_SMALL))
-        best_small = min(best_small, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(loop(variables, batch_inputs, N_BIG))
-        best_big = min(best_big, time.perf_counter() - t0)
-    diff = best_big - best_small
-    assert diff > 0, f"timing below noise floor (diff={diff:.6f}s)"
-    per_step = diff / (N_BIG - N_SMALL)
-    leading = (
-        batch_inputs[0].shape[0]
-        if isinstance(batch_inputs, (list, tuple))
-        else batch_inputs.shape[0]
-    )
-    return leading / per_step
+    return loop
 
 
 def _deploy_variables(model, example_shapes, device, cpu):
@@ -120,20 +149,23 @@ def _deploy_variables(model, example_shapes, device, cpu):
     return jax.device_put(variables, device)
 
 
-def bench_x3d_s(device, cpu):
+def _rand_input(shape, device, seed=0):
+    rng = np.random.default_rng(seed)
+    return jax.device_put(
+        jnp.asarray(rng.uniform(-1, 1, shape), jnp.bfloat16), device
+    )
+
+
+def setup_x3d(device, cpu, variant, B, T, S):
     from pytorchvideo_tpu.models import hub
 
-    model = hub.x3d_s(model_num_class=400)
-    B, T, S = 128, 13, 160
+    model = getattr(hub, variant)(model_num_class=400)
     variables = _deploy_variables(model, [(1, T, S, S, 3)], device, cpu)
-    rng = np.random.default_rng(0)
-    x = jax.device_put(
-        jnp.asarray(rng.uniform(-1, 1, (B, T, S, S, 3)), jnp.bfloat16), device
-    )
-    return _measure_model(model, None, x, variables, device)
+    x = _rand_input((B, T, S, S, 3), device)
+    return _make_sampler(_model_loop(model), (variables, x), B)
 
 
-def bench_slowfast_r50(device, cpu):
+def setup_slowfast_r50(device, cpu):
     from pytorchvideo_tpu.models import hub
 
     model = hub.slowfast_r50(model_num_class=400)
@@ -141,24 +173,16 @@ def bench_slowfast_r50(device, cpu):
     variables = _deploy_variables(
         model, [(1, 8, S, S, 3), (1, 32, S, S, 3)], device, cpu
     )
-    rng = np.random.default_rng(0)
     xs = [
-        jax.device_put(
-            jnp.asarray(rng.uniform(-1, 1, (B, 8, S, S, 3)), jnp.bfloat16),
-            device,
-        ),
-        jax.device_put(
-            jnp.asarray(rng.uniform(-1, 1, (B, 32, S, S, 3)), jnp.bfloat16),
-            device,
-        ),
+        _rand_input((B, 8, S, S, 3), device),
+        _rand_input((B, 32, S, S, 3), device),
     ]
-    return _measure_model(model, None, xs, variables, device)
+    return _make_sampler(_model_loop(model), (variables, xs), B)
 
 
-def bench_mvit(device, cpu):
+def setup_mvit(device, cpu):
     """MViT-B 16x4, batch 16 (measured per-chip optimum), bf16, BN-fused
-    deploy form. Exercises the Pallas pooled-attention + token-pool kernels
-    (PVT_* auto dispatch on TPU)."""
+    deploy form. Exercises the Pallas pooled-attention kernels."""
     from pytorchvideo_tpu.accelerate import fuse_bn_mvit
     from pytorchvideo_tpu.models import hub
 
@@ -177,15 +201,117 @@ def bench_mvit(device, cpu):
             **{k: v for k, v in variables.items() if k != "params"},
         }
     variables = jax.device_put(variables, device)
-    rng = np.random.default_rng(0)
-    x = jax.device_put(
-        jnp.asarray(rng.uniform(-1, 1, (B, T, S, S, 3)), jnp.bfloat16), device
+    x = _rand_input((B, T, S, S, 3), device)
+    return _make_sampler(_model_loop(model), (variables, x), B)
+
+
+def setup_x3d_s_train(device, cpu):
+    """Full bf16 train step: fwd+bwd + SGD-momentum update + MixUp batch
+    transform + SoftTarget CE + BN stat updates (train/train_loop.py)."""
+    from pytorchvideo_tpu.models import hub
+    from pytorchvideo_tpu.train import (
+        OptimizerConfig,
+        construct_optimizer,
+        create_train_state,
+        make_train_step,
     )
-    return _measure_model(model, None, x, variables, device)
+    from pytorchvideo_tpu.transforms.mix import MixUp
+
+    B, T, S = 64, 13, 160
+    model = hub.x3d_s(model_num_class=400)
+    with jax.default_device(cpu):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, T, S, S, 3)), False
+        )
+        tx = construct_optimizer(
+            variables["params"],
+            OptimizerConfig(method="sgd", lr=0.1, momentum=0.9),
+        )
+        state = create_train_state(variables, tx)
+    state = jax.device_put(state, device)
+
+    mix = MixUp(num_classes=400, label_smoothing=0.1)
+    step = make_train_step(
+        model,
+        tx,
+        batch_transform=lambda k, v, l: mix(k, v, l),
+        compute_dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    video = jax.device_put(
+        jnp.asarray(rng.uniform(-1, 1, (B, T, S, S, 3)), jnp.float32), device
+    )
+    label = jax.device_put(jnp.asarray(np.arange(B) % 400), device)
+    key = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def loop(state, video, label, n):
+        def body(i, carry):
+            state, video, acc = carry
+            new_state, metrics = step(
+                state, {"video": video, "label": label}, key
+            )
+            probe = metrics["loss"].astype(jnp.float32)
+            return (
+                new_state,
+                video + (probe * 1e-24).astype(video.dtype),
+                acc + probe,
+            )
+
+        _, _, acc = jax.lax.fori_loop(
+            0, n, body, (state, video, jnp.float32(0))
+        )
+        return acc
+
+    return _make_sampler(loop, (state, video, label), B)
+
+
+def calibration_probes(device):
+    """Chip-health probes: bf16 square-GEMM TFLOP/s and HBM stream GB/s.
+    Reference points: the round-1/2 anchor sessions probed ~183 TF/s
+    (v5e bf16 peak 197); v5e HBM spec is 819 GB/s."""
+    n = 4096
+    rng = np.random.default_rng(0)
+    a = jax.device_put(
+        jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16), device
+    )
+    b = jax.device_put(
+        jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16), device
+    )
+
+    @jax.jit
+    def gemm_loop(a, b, n_it):
+        def body(i, carry):
+            a, acc = carry
+            probe = (a @ b).mean().astype(jnp.float32)
+            return (a + (probe * 1e-24).astype(a.dtype), acc + probe)
+
+        _, acc = jax.lax.fori_loop(0, n_it, body, (a, jnp.float32(0)))
+        return acc
+
+    gemm_sec = _make_sampler(gemm_loop, (a, b), 1.0)
+    tflops = 2 * n**3 * gemm_sec() / 1e12  # sample() returns 1/sec_per_step
+
+    m = 256 * 1024 * 1024 // 2  # 512 MB bf16
+    x = jax.device_put(jnp.ones((m,), jnp.bfloat16), device)
+
+    @jax.jit
+    def stream_loop(x, n_it):
+        def body(i, carry):
+            x, acc = carry
+            y = x * 1.0000001 + 1e-30
+            return (y, acc + y[0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(0, n_it, body, (x, jnp.float32(0)))
+        return acc
+
+    stream_sec = _make_sampler(stream_loop, (x,), 1.0)
+    gbps = 2 * m * 2 * stream_sec() / 1e9  # read + write per iter
+    return round(tflops, 1), round(gbps, 1)
 
 
 def bench_pipeline_fps():
-    """Host decode+transform FPS: synthetic mp4s -> BatchLoader (4 decode
+    """Host decode+transform FPS: synthetic mp4s -> BatchLoader (decode
     workers, plan/load split) -> val-style transform chain. Reported as
     source frames decoded+transformed per second."""
     import cv2
@@ -307,62 +433,110 @@ def _devices_with_timeout(timeout_s: float):
 def main():
     errors = {}
 
-    def run(name, fn, *args):
-        # One failing model must not take down the whole bench line (e.g.
-        # a kernel that stops lowering on the real chip): record the error
-        # as a 0-valued submetric instead.
-        try:
-            return fn(*args)
-        except Exception as e:  # pragma: no cover
-            errors[name] = f"{type(e).__name__}: {e}"[:400]
-            return 0.0
-
     # Host-only pipeline bench runs FIRST, before any TPU backend init:
     # the tunnel client's service threads compete for host CPU and were
     # measured to cut this host-side number 4x when it ran last.
-    pipeline = run("pipeline_fps", bench_pipeline_fps)
+    try:
+        pipeline = bench_pipeline_fps()
+    except Exception as e:  # pragma: no cover
+        errors["pipeline_fps"] = f"{type(e).__name__}: {e}"[:400]
+        pipeline = 0.0
 
-    device = _devices_with_timeout(float(os.environ.get("BENCH_INIT_TIMEOUT", 900)))[0]
+    device = _devices_with_timeout(
+        float(os.environ.get("BENCH_INIT_TIMEOUT", 900))
+    )[0]
     cpu = jax.devices("cpu")[0]
 
-    x3d = run("x3d_s", bench_x3d_s, device, cpu)
-    slowfast = run("slowfast_r50", bench_slowfast_r50, device, cpu)
-    mvit = run("mvit_base_16x4", bench_mvit, device, cpu)
+    try:
+        gemm_tflops, hbm_gbps = calibration_probes(device)
+    except Exception as e:  # pragma: no cover
+        errors["calibration"] = f"{type(e).__name__}: {e}"[:400]
+        gemm_tflops = hbm_gbps = 0.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "x3d_s_inference_clips_per_sec_per_chip",
-                "value": round(x3d, 2),
-                "unit": "clips/s",
-                "vs_baseline": round(x3d / BASELINES["x3d_s"], 3),
-                "submetrics": {
-                    "slowfast_r50_inference_clips_per_sec_per_chip": {
-                        "value": round(slowfast, 2),
-                        "unit": "clips/s",
-                        "vs_baseline": round(
-                            slowfast / BASELINES["slowfast_r50"], 3
-                        ),
-                    },
-                    "mvit_base_16x4_inference_clips_per_sec_per_chip": {
-                        "value": round(mvit, 2),
-                        "unit": "clips/s",
-                        "vs_baseline": round(
-                            mvit / BASELINES["mvit_base_16x4"], 3
-                        ),
-                    },
-                    "decode_transform_pipeline_fps": {
-                        "value": round(pipeline, 1),
-                        "unit": "frames/s",
-                        "vs_baseline": round(
-                            pipeline / BASELINES["pipeline_fps"], 3
-                        ),
-                    },
-                },
-                **({"errors": errors} if errors else {}),
-            }
+    # Build each model's compiled sampler once; one failing model must not
+    # take down the whole bench line (record the error, report 0).
+    setups = [
+        ("x3d_xs", lambda: setup_x3d(device, cpu, "x3d_xs", 256, 4, 160)),
+        ("x3d_s", lambda: setup_x3d(device, cpu, "x3d_s", 128, 13, 160)),
+        ("slowfast_r50", lambda: setup_slowfast_r50(device, cpu)),
+        ("mvit_base_16x4", lambda: setup_mvit(device, cpu)),
+        ("x3d_s_train_bf16", lambda: setup_x3d_s_train(device, cpu)),
+    ]
+    samplers = {}
+    for name, make in setups:
+        try:
+            samplers[name] = make()
+        except Exception as e:  # pragma: no cover
+            errors[name] = f"{type(e).__name__}: {e}"[:400]
+
+    # Interleaved repeats: round-robin so slow drift hits all models alike.
+    samples = {name: [] for name in samplers}
+    for _ in range(N_REPEATS):
+        for name, sample in samplers.items():
+            try:
+                samples[name].append(sample())
+            except Exception as e:  # pragma: no cover
+                errors[name] = f"{type(e).__name__}: {e}"[:400]
+
+    def stat(name):
+        vals = samples.get(name) or [0.0]
+        return (
+            statistics.median(vals),
+            max(vals) - min(vals),
+            len([v for v in vals if v]),
         )
-    )
+
+    def sub(name, value, spread, n, unit="clips/s"):
+        return {
+            "value": round(value, 2),
+            "unit": unit,
+            "vs_baseline": round(value / BASELINES[name], 3),
+            "spread": round(spread, 2),
+            "n": n,
+        }
+
+    x3d_med, x3d_spread, x3d_n = stat("x3d_s")
+    out = {
+        "metric": "x3d_s_inference_clips_per_sec_per_chip",
+        "value": round(x3d_med, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(x3d_med / BASELINES["x3d_s"], 3),
+        "spread": round(x3d_spread, 2),
+        "n": x3d_n,
+        "submetrics": {
+            "x3d_xs_inference_clips_per_sec_per_chip": sub(
+                "x3d_xs", *stat("x3d_xs")
+            ),
+            "slowfast_r50_inference_clips_per_sec_per_chip": sub(
+                "slowfast_r50", *stat("slowfast_r50")
+            ),
+            "mvit_base_16x4_inference_clips_per_sec_per_chip": sub(
+                "mvit_base_16x4", *stat("mvit_base_16x4")
+            ),
+            "x3d_s_train_bf16_clips_per_sec_per_chip": sub(
+                "x3d_s_train_bf16", *stat("x3d_s_train_bf16")
+            ),
+            "decode_transform_pipeline_fps": {
+                "value": round(pipeline, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(
+                    pipeline / BASELINES["pipeline_fps"], 3
+                ),
+            },
+            "calibration_gemm_bf16_tflops": {
+                "value": gemm_tflops,
+                "unit": "TFLOP/s",
+                "note": "anchor sessions probed ~183",
+            },
+            "calibration_hbm_stream_gbps": {
+                "value": hbm_gbps,
+                "unit": "GB/s",
+                "note": "v5e spec 819",
+            },
+        },
+        **({"errors": errors} if errors else {}),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

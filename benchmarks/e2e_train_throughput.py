@@ -12,7 +12,7 @@ into the jitted bf16 train step, and reports steady-state clips/s.
 
 Context for the recorded number: this dev box exposes ONE cpu core
 (sched_getaffinity), so the run is host-decode-bound (~3 clips/s; the
-device step alone does 1661). Host cost is ~120-320 ms/clip
+device step alone does ~457). Host cost is ~120-320 ms/clip
 (decode ~100 ms + numpy transform ~25 ms + collate/put, GIL-serialized
 on one core) and scales ~linearly with cores in the threaded BatchLoader
 — a 64-core production host feeds ~500+ clips/s, and the C++ decode
