@@ -361,6 +361,7 @@ def create_res_stage(
     conv_b_dilation: Tuple[int, int, int] = (1, 1, 1),
     conv_b: Callable = Conv3d,
     conv_c: Callable = Conv3d,
+    conv_skip: Callable = Conv3d,
     norm: Optional[Callable] = BatchNorm,
     norm_eps: float = 1e-5,
     norm_momentum: float = 0.1,
@@ -394,6 +395,7 @@ def create_res_stage(
                 conv_b_dilation=conv_b_dilation,
                 conv_b=conv_b,
                 conv_c=conv_c,
+                conv_skip=conv_skip,
                 norm=norm,
                 norm_eps=norm_eps,
                 norm_momentum=norm_momentum,

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from pytorchvideo_tpu.layers.common import Conv3d, apply_with_train
 from pytorchvideo_tpu.layers.norms import BatchNorm, make_act, make_norm
+from pytorchvideo_tpu.layers.packed import packed_conv_factory, packed_norm
 from pytorchvideo_tpu.layers.pooling import AdaptiveAvgPool3d, AvgPool3d, MaxPool3d
 from pytorchvideo_tpu.models.head import create_res_basic_head
 from pytorchvideo_tpu.models.net import MultiPathWayWithFuse, Net
@@ -58,6 +59,7 @@ class FastToSlowFusionBuilder:
         norm_momentum: float = 0.1,
         activation: Optional[Callable] = nn.relu,
         max_stage_idx: int = 3,
+        conv: Callable = Conv3d,
     ):
         self.slowfast_channel_reduction_ratio = slowfast_channel_reduction_ratio
         self.conv_fusion_channel_ratio = conv_fusion_channel_ratio
@@ -68,6 +70,7 @@ class FastToSlowFusionBuilder:
         self.norm_momentum = norm_momentum
         self.activation = activation
         self.max_stage_idx = max_stage_idx
+        self.conv = conv
 
     def create_module(self, fusion_dim_in: int, stage_idx: int):
         if stage_idx > self.max_stage_idx:
@@ -75,7 +78,7 @@ class FastToSlowFusionBuilder:
         conv_dim_in = fusion_dim_in // self.slowfast_channel_reduction_ratio
         conv_dim_out = int(conv_dim_in * self.conv_fusion_channel_ratio)
         return FuseFastToSlow(
-            conv_fast_to_slow=Conv3d(
+            conv_fast_to_slow=self.conv(
                 in_channels=conv_dim_in,
                 out_channels=conv_dim_out,
                 kernel_size=self.conv_kernel_size,
@@ -155,9 +158,20 @@ def create_slowfast(
     head_activation: Optional[Callable] = None,
     head_output_with_global_average: bool = True,
     stage_depths: Optional[Tuple[int, ...]] = None,
+    pathway_packs: Optional[Sequence[int]] = None,
+    packed_stages: Optional[int] = None,
 ) -> Net:
     """Builder (reference slowfast.py:20-363). `stage_depths` overrides the
-    depth table (extension; e.g. (1, 1, 1, 1) for tiny configs)."""
+    depth table (extension; e.g. (1, 1, 1, 1) for tiny configs).
+
+    TPU extension — packed-channel pathways: ``pathway_packs[p]`` >= 2 runs
+    pathway ``p``'s first ``packed_stages`` res stages (default: all but the
+    last) in a space-to-depth packed layout (layers/packed.py) so tiny
+    channel ladders fill the 128-lane tile; exact, identical param tree.
+    Requires the pathway's stage spatial dims to be divisible by the pack
+    factor (224/256-crop SlowFast: 56/28/14 all divide 2 and 4 through
+    res4; res5's 7x7 stays unpacked).
+    """
     _num_pathway = len(input_channels)
     if stage_depths is None:
         assert model_depth in _MODEL_STAGE_DEPTH, f"{model_depth} unsupported"
@@ -169,7 +183,19 @@ def create_slowfast(
         stem_pool = (stem_pool,) * _num_pathway
     if callable(bottleneck):
         bottleneck = ((bottleneck,) * len(stage_depths),) * _num_pathway
+
+    packs = list(pathway_packs) if pathway_packs else [1] * _num_pathway
+    packs += [1] * (_num_pathway - len(packs))
+    packs = [max(int(v or 1), 1) for v in packs]
+    n_packed = (
+        packed_stages if packed_stages is not None else len(stage_depths) - 1
+    )
+    assert n_packed <= len(stage_depths) - 1, (
+        "the last res stage must stay unpacked (head pools consume it)"
+    )
+
     if fusion_builder is None:
+        fast_pack = packs[1] if _num_pathway > 1 else 1
         fusion_builder = FastToSlowFusionBuilder(
             slowfast_channel_reduction_ratio=slowfast_channel_reduction_ratio[0],
             conv_fusion_channel_ratio=slowfast_conv_channel_fusion_ratio,
@@ -178,6 +204,13 @@ def create_slowfast(
             norm=norm,
             activation=activation,
             max_stage_idx=len(stage_depths) - 1,
+            conv=(
+                packed_conv_factory(
+                    (fast_pack, fast_pack), unpack_output=True
+                )
+                if fast_pack > 1
+                else Conv3d
+            ),
         ).create_module
 
     stems = []
@@ -231,6 +264,17 @@ def create_slowfast(
                 if isinstance(conv_a_kernel[0], int)
                 else [[s // 2 for s in sizes] for sizes in conv_a_kernel]
             )
+            if packs[p] > 1 and idx < n_packed:
+                conv_f = packed_conv_factory((packs[p], packs[p]))
+                norm_f = packed_norm(norm, packs[p] * packs[p])
+            elif packs[p] > 1 and idx == n_packed:
+                # first unpacked stage: block 0 d2s-unpacks the packed input
+                conv_f = packed_conv_factory(
+                    (packs[p], packs[p]), unpack_input=True
+                )
+                norm_f = norm
+            else:
+                conv_f, norm_f = Conv3d, norm
             stage.append(
                 create_res_stage(
                     depth=stage_depths[idx],
@@ -258,7 +302,11 @@ def create_slowfast(
                     ),
                     conv_b_num_groups=stage_conv_b_num_groups[p][idx],
                     conv_b_dilation=stage_conv_b_dilations[p][idx],
-                    norm=norm,
+                    conv_a=conv_f,
+                    conv_b=conv_f,
+                    conv_c=conv_f,
+                    conv_skip=conv_f,
+                    norm=norm_f,
                     activation=activation,
                 )
             )
