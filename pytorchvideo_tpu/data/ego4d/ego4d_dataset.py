@@ -176,6 +176,7 @@ class Ego4dMomentsDataset(LabeledVideoDataset):
         metadata_path: str,
         split: Optional[str] = None,
         decode_audio: bool = False,
+        decode_video: bool = True,
         imu: bool = False,
         clip_sampler: Optional[ClipSampler] = None,
         video_sampler: Type = SequentialSampler,
@@ -271,6 +272,7 @@ class Ego4dMomentsDataset(LabeledVideoDataset):
             video_sampler,
             transform=self._transform_mm,
             decode_audio=decode_audio,
+            decode_video=decode_video,
             decoder=decoder,
         )
 
@@ -288,7 +290,7 @@ class Ego4dMomentsDataset(LabeledVideoDataset):
 
     def _transform_mm(self, sample_dict: Dict[str, Any]) -> Optional[Dict[str, Any]]:
         video_uid = sample_dict["video_uid"]
-        assert sample_dict["video"] is not None
+        assert sample_dict["video"] is not None or not self._decode_video
         start = sample_dict["clip_start"]
         end = sample_dict["clip_end"]
         assert start >= 0 and end >= start

@@ -163,9 +163,13 @@ class EncodedVideoNative(EncodedVideo):
         lib = load_native_library()
         if lib is None:
             raise RuntimeError("native decoder not built (make -C native)")
-        if not decode_video:
-            raise NotImplementedError("decode_video=False unsupported")
+        if not decode_video and not decode_audio:
+            raise ValueError(
+                "decode_video=False requires decode_audio=True (audio-only "
+                "decode, reference encoded_video_decord.py:77-79)"
+            )
         self._lib = lib
+        self._decode_video = decode_video
         self._decode_audio = decode_audio
         if _buffer is not None:
             self._video_name = video_name or "<memory>"
@@ -258,6 +262,11 @@ class EncodedVideoNative(EncodedVideo):
                 self.duration,
             )
             return {"video": None, "audio": None}
+        if not self._decode_video:
+            # audio-only decode: skip the video stream entirely (reference
+            # encoded_video.py:52, encoded_video_decord.py:77-79); duration
+            # still comes from the container header above
+            return {"video": None, "audio": self._get_audio(start_sec, end_sec)}
         start_idx = max(int(math.ceil(self._fps * start_sec - 1e-9)), 0)
         if end_sec == math.inf:
             end_idx = self._num_frames

@@ -31,16 +31,25 @@ from pytorchvideo_tpu.data.video import VideoPathHandler
 logger = logging.getLogger(__name__)
 
 
-class _ClipPlan(NamedTuple):
-    """Self-contained decode work item emitted by plan_clips()."""
+class _ClipGroup(NamedTuple):
+    """One decode span within a video plan; aug_indices > 1 share it."""
 
-    video_path: str
-    info_dict: dict
-    video_index: int
     clip_start: Any  # Fraction or List[Fraction] (multi-clip)
     clip_end: Any
     clip_index: Any
     aug_indices: List[int]
+
+
+class _ClipPlan(NamedTuple):
+    """Self-contained decode work item emitted by plan_clips(): ALL clip
+    groups of one video, so load_clip opens one container handle per video
+    (the reference keeps one handle across a video's clips,
+    labeled_video_dataset.py:134; round 2 reopened per clip group)."""
+
+    video_path: str
+    info_dict: dict
+    video_index: int
+    groups: List[_ClipGroup]
 
 
 class LabeledVideoDataset:
@@ -130,7 +139,9 @@ class LabeledVideoDataset:
                     loaded = []
                     for s, e in zip(clip_start, clip_end):
                         clip = video.get_clip(s, e)
-                        if clip is None or clip["video"] is None:
+                        if clip is None or (
+                            self._decode_video and clip["video"] is None
+                        ):
                             self._loaded_clip = None
                             break
                         loaded.append(clip)
@@ -143,8 +154,8 @@ class LabeledVideoDataset:
 
             self._last_clip_end_time = clip_end
 
-            video_is_null = (
-                self._loaded_clip is None or self._loaded_clip["video"] is None
+            video_is_null = self._loaded_clip is None or (
+                self._decode_video and self._loaded_clip["video"] is None
             )
             last = is_last_clip[-1] if isinstance(is_last_clip, list) else is_last_clip
             if last or video_is_null:
@@ -193,9 +204,13 @@ class LabeledVideoDataset:
     # its own container handle.
 
     def plan_clips(self):
-        """Yield ClipPlan work items: (video_path, info, video_index,
-        clip spans, aug indices). Sequential; only probes container
-        metadata (duration), never decodes frames."""
+        """Yield one ClipPlan per video: all its clip groups. Sequential;
+        only probes container metadata (duration), never decodes frames —
+        and caches the probed duration per path so repeat epochs skip the
+        open+header-parse entirely."""
+        durations = getattr(self, "_duration_cache", None)
+        if durations is None:
+            durations = self._duration_cache = {}
         sampler_iter = iter(MultiProcessSampler(self._video_sampler))
         failures = 0
         while True:
@@ -204,24 +219,27 @@ class LabeledVideoDataset:
             except StopIteration:
                 return
             video_path, info_dict = self._labeled_videos[video_index]
-            try:
-                video = self.video_path_handler.video_from_path(
-                    video_path,
-                    decode_audio=self._decode_audio,
-                    decode_video=self._decode_video,
-                    decoder=self._decoder,
-                )
-                duration = video.duration
-                video.close()
-            except Exception as e:
-                logger.debug("Failed to probe video %s: %s", video_path, e)
-                failures += 1
-                if failures >= self._MAX_CONSECUTIVE_FAILURES:
-                    raise RuntimeError(
-                        f"Failed to load video after "
-                        f"{self._MAX_CONSECUTIVE_FAILURES} retries."
+            duration = durations.get(video_path)
+            if duration is None:
+                try:
+                    video = self.video_path_handler.video_from_path(
+                        video_path,
+                        decode_audio=self._decode_audio,
+                        decode_video=self._decode_video,
+                        decoder=self._decoder,
                     )
-                continue
+                    duration = video.duration
+                    video.close()
+                except Exception as e:
+                    logger.debug("Failed to probe video %s: %s", video_path, e)
+                    failures += 1
+                    if failures >= self._MAX_CONSECUTIVE_FAILURES:
+                        raise RuntimeError(
+                            f"Failed to load video after "
+                            f"{self._MAX_CONSECUTIVE_FAILURES} retries."
+                        )
+                    continue
+                durations[video_path] = duration
             failures = 0
 
             # Enumerate this video's clips; group consecutive same-span
@@ -239,6 +257,7 @@ class LabeledVideoDataset:
                     break
             self._clip_sampler.reset()
 
+            groups: List[_ClipGroup] = []
             group = None
             for info in infos:
                 clip_start, clip_end, clip_index, aug_index, _ = info
@@ -247,14 +266,13 @@ class LabeledVideoDataset:
                     group["aug_indices"].append(aug_index)
                     continue
                 if group is not None:
-                    yield _ClipPlan(
-                        video_path,
-                        info_dict,
-                        video_index,
-                        group["start"],
-                        group["end"],
-                        group["clip_index"],
-                        group["aug_indices"],
+                    groups.append(
+                        _ClipGroup(
+                            group["start"],
+                            group["end"],
+                            group["clip_index"],
+                            group["aug_indices"],
+                        )
                     )
                 group = {
                     "key": key,
@@ -264,59 +282,72 @@ class LabeledVideoDataset:
                     "aug_indices": [aug_index],
                 }
             if group is not None:
-                yield _ClipPlan(
-                    video_path,
-                    info_dict,
-                    video_index,
-                    group["start"],
-                    group["end"],
-                    group["clip_index"],
-                    group["aug_indices"],
+                groups.append(
+                    _ClipGroup(
+                        group["start"],
+                        group["end"],
+                        group["clip_index"],
+                        group["aug_indices"],
+                    )
                 )
+            if groups:
+                yield _ClipPlan(video_path, info_dict, video_index, groups)
 
     def load_clip(self, plan: "_ClipPlan") -> List[dict]:
-        """Decode + transform one ClipPlan (thread-safe: private container
-        handle per call). Returns 0..len(aug_indices) sample dicts."""
+        """Decode + transform one ClipPlan — all clip groups of one video
+        through a single container handle (thread-safe: the handle is
+        private to this call). Returns the plan's sample dicts."""
         video = self.video_path_handler.video_from_path(
             plan.video_path,
             decode_audio=self._decode_audio,
             decode_video=self._decode_video,
             decoder=self._decoder,
         )
+        samples: List[dict] = []
         try:
-            if isinstance(plan.clip_start, list):
-                loaded = []
-                for s, e in zip(plan.clip_start, plan.clip_end):
-                    clip = video.get_clip(s, e)
-                    if clip is None or clip["video"] is None:
-                        return []
-                    loaded.append(clip)
-                base_clip = {
-                    key: [c[key] for c in loaded] for key in loaded[0].keys()
-                }
-            else:
-                base_clip = video.get_clip(plan.clip_start, plan.clip_end)
-                if base_clip is None or base_clip["video"] is None:
-                    logger.debug("Failed to decode clip %s", plan.video_path)
-                    return []
-            samples = []
-            for aug_index in plan.aug_indices:
-                sample_dict = {
-                    "video": base_clip["video"],
-                    "video_name": video.name,
-                    "video_index": plan.video_index,
-                    "clip_index": plan.clip_index,
-                    "aug_index": aug_index,
-                    **plan.info_dict,
-                }
-                audio = base_clip.get("audio")
-                if audio is not None:
-                    sample_dict["audio"] = audio
-                if self._transform is not None:
-                    sample_dict = self._transform(sample_dict)
-                    if sample_dict is None:
+            for group in plan.groups:
+                if isinstance(group.clip_start, list):
+                    loaded = []
+                    for s, e in zip(group.clip_start, group.clip_end):
+                        clip = video.get_clip(s, e)
+                        if clip is None or (
+                            self._decode_video and clip["video"] is None
+                        ):
+                            loaded = None
+                            break
+                        loaded.append(clip)
+                    if loaded is None:
                         continue
-                samples.append(sample_dict)
+                    base_clip = {
+                        key: [c[key] for c in loaded]
+                        for key in loaded[0].keys()
+                    }
+                else:
+                    base_clip = video.get_clip(group.clip_start, group.clip_end)
+                    if base_clip is None or (
+                        self._decode_video and base_clip["video"] is None
+                    ):
+                        logger.debug(
+                            "Failed to decode clip %s", plan.video_path
+                        )
+                        continue
+                for aug_index in group.aug_indices:
+                    sample_dict = {
+                        "video": base_clip["video"],
+                        "video_name": video.name,
+                        "video_index": plan.video_index,
+                        "clip_index": group.clip_index,
+                        "aug_index": aug_index,
+                        **plan.info_dict,
+                    }
+                    audio = base_clip.get("audio")
+                    if audio is not None:
+                        sample_dict["audio"] = audio
+                    if self._transform is not None:
+                        sample_dict = self._transform(sample_dict)
+                        if sample_dict is None:
+                            continue
+                    samples.append(sample_dict)
             return samples
         finally:
             video.close()
@@ -340,6 +371,7 @@ def labeled_video_dataset(
     transform: Optional[Callable[[Dict[str, Any]], Dict[str, Any]]] = None,
     video_path_prefix: str = "",
     decode_audio: bool = False,
+    decode_video: bool = True,
     decoder: str = "opencv",
 ) -> LabeledVideoDataset:
     """Build from a csv file or class-directory tree
@@ -352,5 +384,6 @@ def labeled_video_dataset(
         video_sampler,
         transform,
         decode_audio=decode_audio,
+        decode_video=decode_video,
         decoder=decoder,
     )

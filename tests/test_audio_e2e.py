@@ -283,3 +283,151 @@ def test_av_slowfast_from_file_e2e():
     out = model.apply(variables, xs, False)
     assert out.shape == (1, 5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_audio_only_decode_native():
+    """decode_video=False skips the video stream and returns audio alone
+    (reference encoded_video.py:52, encoded_video_decord.py:77-79)."""
+    with temp_encoded_video_with_audio(num_frames=20, fps=10) as (
+        path,
+        _,
+        audio,
+        rate,
+    ):
+        video = EncodedVideo.from_path(
+            path, decoder="native", decode_audio=True, decode_video=False
+        )
+        assert video.duration == 2.0
+        clip = video.get_clip(0, video.duration)
+        assert clip["video"] is None
+        got = clip["audio"]
+        assert got is not None and got.dtype == np.float32
+        n = min(len(got), len(audio))
+        assert n >= len(audio) - 1024
+        assert np.abs(got[:n] - audio[:n]).max() < 2e-4
+        video.close()
+        # audio-only with decode_audio=False is a config error
+        with pytest.raises(ValueError):
+            EncodedVideo.from_path(
+                path, decoder="native", decode_audio=False, decode_video=False
+            )
+
+
+def test_labeled_video_dataset_audio_only(tmp_path):
+    """decode_video=False end-to-end through the dataset: samples carry
+    audio, video stays None, the retry loop does not treat it as a failed
+    decode (reference labeled_video_dataset.py:36,143)."""
+    import shutil
+
+    from pytorchvideo_tpu.data import labeled_video_dataset
+    from pytorchvideo_tpu.data.clip_sampling import make_clip_sampler
+    from pytorchvideo_tpu.data.loader import BatchLoader
+
+    with temp_encoded_video_with_audio(num_frames=20, fps=10) as (
+        path,
+        _,
+        _audio,
+        rate,
+    ):
+        vid = tmp_path / "a.avi"
+        shutil.copy(path, vid)
+        csv = tmp_path / "data.csv"
+        csv.write_text(f"{vid} 5\n")
+
+        def build():
+            return labeled_video_dataset(
+                str(csv),
+                make_clip_sampler("uniform", 1.0),
+                decode_audio=True,
+                decode_video=False,
+                decoder="native",
+            )
+
+        samples = list(iter(build()))
+        assert len(samples) == 2  # 2s file, 1s uniform clips
+        for s in samples:
+            assert s["video"] is None
+            assert s["label"] == 5
+            assert len(s["audio"]) >= rate - 2048
+
+        # parallel plan/load path agrees
+        loader = BatchLoader(
+            build(), batch_size=1, num_workers=2, collate_fn=lambda b: b,
+            drop_last=False,
+        )
+        batches = [s for b in loader for s in b]
+        assert len(batches) == 2
+        assert all(s["video"] is None and s["audio"] is not None for s in batches)
+
+
+def test_ego4d_audio_only_pathway(tmp_path):
+    """Ego4d moments with decode_video=False: spectrogram pathway without
+    video decode (reference ego4d_dataset.py audio-only usage)."""
+    import json
+    import shutil
+
+    from pytorchvideo_tpu.data.ego4d.ego4d_dataset import Ego4dMomentsDataset
+
+    with temp_encoded_video_with_audio(num_frames=40, fps=10) as (
+        path,
+        _,
+        _audio,
+        _rate,
+    ):
+        vid_path = str(tmp_path / "clip.avi")
+        shutil.copy(path, vid_path)
+    duration = 4.0
+    metadata = {
+        "videos": [
+            {"video_uid": "v1", "duration_sec": duration,
+             "manifold_path": vid_path}
+        ]
+    }
+    annotations = {
+        "videos": [
+            {
+                "video_uid": "v1",
+                "split": "train",
+                "clips": [
+                    {
+                        "clip_uid": "c1",
+                        "video_start_sec": 0.0,
+                        "video_end_sec": duration,
+                        "annotations": [
+                            {
+                                "labels": [
+                                    {
+                                        "label": "cooking",
+                                        "start_time": 0.0,
+                                        "end_time": 2.0,
+                                        "video_start_time": 0.0,
+                                        "video_end_time": 2.0,
+                                    }
+                                ]
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    ann_path = tmp_path / "ann.json"
+    meta_path = tmp_path / "meta.json"
+    ann_path.write_text(json.dumps(annotations))
+    meta_path.write_text(json.dumps(metadata))
+    ds = Ego4dMomentsDataset(
+        annotation_path=str(ann_path),
+        metadata_path=str(meta_path),
+        split="train",
+        decode_audio=True,
+        decode_video=False,
+        decoder="native",
+        window_sec=2,
+        label_id_map={"cooking": 0},
+    )
+    sample = next(iter(ds))
+    assert sample["video"] is None
+    assert sample["labels_onehot"] == [1]
+    assert sample["audio"]["signal"].ndim == 1
+    assert sample["spectrogram"].ndim == 2
+    assert np.isfinite(sample["spectrogram"]).all()
