@@ -1,0 +1,216 @@
+"""End-to-end training from the packed clip store vs device-only step rate.
+
+VERDICT round-2 item 3: online codec decode sustains ~tens of clips/s/core
+while the chip trains hundreds — training must run from preprocessed
+shards. This harness:
+
+  1. preps a clip store from synthetic mp4s (X3D-S geometry, 13x160x160
+     uint8) via data/clip_store.py,
+  2. measures the device-only train-step rate (state carried through an
+     on-device fori_loop — the honest methodology, utils/profiling.py),
+  3. measures e2e store->host gather->device_put prefetch->train-step by
+     walking the real stream at two step counts and differencing
+     (cancels warmup; state chained so nothing can be elided),
+  4. reports the e2e/device ratio (target: >= 0.8) plus the host gather
+     rate and the host->device transfer rate as the diagnosis metrics.
+
+Run: python benchmarks/clip_store_e2e.py [batch] [steps]
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+if "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] += ",cpu"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+T, S = 13, 160
+MEAN, STD = 0.45, 0.225
+
+
+def build_store(td: str, n_videos: int = 8) -> str:
+    import cv2
+
+    from pytorchvideo_tpu.data import (
+        SequentialSampler,
+        labeled_video_dataset,
+        make_clip_sampler,
+        prepare_clip_store,
+    )
+    from pytorchvideo_tpu.transforms import (
+        CenterCropVideo,
+        Compose,
+        ShortSideScale,
+        UniformTemporalSubsample,
+    )
+
+    rng = np.random.default_rng(0)
+    h, w, fps, nf = 240, 320, 30, 64
+    base = rng.integers(0, 255, (1, h, w, 3), dtype=np.uint8)
+    arr = np.clip(
+        base.astype(np.int16)
+        + rng.integers(-20, 20, (nf, h, w, 3), dtype=np.int16),
+        0, 255,
+    ).astype(np.uint8)
+    paths = []
+    for i in range(n_videos):
+        p = os.path.join(td, f"v{i}.mp4")
+        wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        for f in arr:
+            wr.write(f)
+        wr.release()
+        paths.append(p)
+    csv = os.path.join(td, "d.csv")
+    with open(csv, "w") as f:
+        for i, p in enumerate(paths):
+            f.write(f"{p} {i % 4}\n")
+
+    sizer = Compose(
+        [UniformTemporalSubsample(T), ShortSideScale(182), CenterCropVideo(S)]
+    )
+
+    def transform(sample):
+        sample["video"] = np.asarray(sizer(sample["video"]))
+        return sample
+
+    ds = labeled_video_dataset(
+        csv, make_clip_sampler("uniform", 1.0),
+        video_sampler=SequentialSampler, transform=transform,
+    )
+    store_dir = os.path.join(td, "store")
+    t0 = time.perf_counter()
+    index = prepare_clip_store(ds, store_dir, clips_per_shard=64,
+                               num_workers=max(2, os.cpu_count() or 1))
+    prep_sec = time.perf_counter() - t0
+    print(json.dumps({
+        "phase": "prep", "clips": index["num_clips"],
+        "prep_clips_per_sec": round(index["num_clips"] / prep_sec, 1),
+    }), flush=True)
+    return store_dir
+
+
+def main():
+    from pytorchvideo_tpu.data import ClipStore, device_prefetch
+    from pytorchvideo_tpu.models import hub
+    from pytorchvideo_tpu.train import (
+        OptimizerConfig,
+        construct_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+    from pytorchvideo_tpu.transforms.mix import MixUp
+    from pytorchvideo_tpu.utils.profiling import time_stateful
+
+    with tempfile.TemporaryDirectory() as td:
+        store_dir = build_store(td)
+        store = ClipStore(store_dir)
+
+        device = jax.devices()[0]
+        cpu = jax.devices("cpu")[0]
+        model = hub.x3d_s(model_num_class=400)
+        with jax.default_device(cpu):
+            variables = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, T, S, S, 3)), False
+            )
+            tx = construct_optimizer(
+                variables["params"],
+                OptimizerConfig(method="sgd", lr=0.1, momentum=0.9),
+            )
+            state = create_train_state(variables, tx)
+        state = jax.device_put(state, device)
+
+        mix = MixUp(num_classes=400, label_smoothing=0.1)
+
+        def batch_transform(key, video, labels):
+            # uint8 -> normalized f32 ON DEVICE (store keeps clips uint8)
+            video = (video.astype(jnp.float32) / 255.0 - MEAN) / STD
+            return mix(key, video, labels)
+
+        step = make_train_step(
+            model, tx, batch_transform=batch_transform,
+            compute_dtype=jnp.bfloat16,
+        )
+        key = jax.random.PRNGKey(1)
+
+        # --- device-only rate (fixed resident batch) ---
+        fixed = store.gather(np.arange(BATCH) % len(store))
+        video_dev = jax.device_put(jnp.asarray(fixed["video"]), device)
+        label_dev = jax.device_put(jnp.asarray(fixed["label"]), device)
+
+        def one(state, video, label):
+            ns, m = step(state, {"video": video, "label": label}, key)
+            return ns, m["loss"]
+
+        sec = time_stateful(one, state, video_dev, label_dev, iters=5)
+        device_rate = BATCH / sec
+        print(json.dumps({
+            "phase": "device_only",
+            "clips_per_sec": round(device_rate, 1),
+        }), flush=True)
+
+        # --- host gather rate (no device) ---
+        t0 = time.perf_counter()
+        n_gather = 0
+        for b in store.batches(BATCH, shuffle=True, epochs=None):
+            n_gather += BATCH
+            if n_gather >= 16 * BATCH:
+                break
+        gather_rate = n_gather / (time.perf_counter() - t0)
+        print(json.dumps({
+            "phase": "host_gather",
+            "clips_per_sec": round(gather_rate, 1),
+        }), flush=True)
+
+        # --- host->device transfer rate (uint8 batches) ---
+        t0 = time.perf_counter()
+        for _ in range(8):
+            jax.device_put(fixed["video"], device).block_until_ready()
+        put_sec = (time.perf_counter() - t0) / 8
+        put_gbps = fixed["video"].nbytes / put_sec / 1e9
+        print(json.dumps({
+            "phase": "device_put",
+            "gbps": round(put_gbps, 2),
+            "clips_per_sec_equiv": round(BATCH / put_sec, 1),
+        }), flush=True)
+
+        # --- e2e streaming rate at two trip counts (differenced) ---
+        def run(n_steps):
+            nonlocal key
+            st = state
+            stream = device_prefetch(
+                store.batches(BATCH, shuffle=True, epochs=None), size=2
+            )
+            t0 = time.perf_counter()
+            for i, batch in enumerate(stream):
+                if i >= n_steps:
+                    break
+                st, metrics = step(
+                    st, {"video": batch["video"], "label": batch["label"]},
+                    key,
+                )
+            float(metrics["loss"])  # force the whole dependent chain
+            return time.perf_counter() - t0
+
+        run(2)  # compile + warm
+        small, big = min(run(4), run(4)), min(run(STEPS), run(STEPS))
+        e2e_rate = (STEPS - 4) * BATCH / (big - small)
+        print(json.dumps({
+            "phase": "e2e_store_train",
+            "clips_per_sec": round(e2e_rate, 1),
+            "ratio_vs_device_only": round(e2e_rate / device_rate, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,3 +59,7 @@ from pytorchvideo_tpu.data.samplers import (  # noqa: F401
     RandomSampler,
     SequentialSampler,
 )
+from pytorchvideo_tpu.data.clip_store import (  # noqa: F401
+    ClipStore,
+    prepare_clip_store,
+)
