@@ -35,7 +35,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 # (num_frames, sampling_rate, side_size, crop_size, clips, spatial_crops,
-#  slowfast_alpha) — reference hub docs + model_zoo.md views column.
+#  slowfast_alpha) per model. Provenance, cross-checked against the
+# reference (frame length x sample rate and the "views" column are the
+# Kinetics-400 table in reference docs/source/model_zoo.md:8-27; views are
+# spatial_crops x clips, e.g. "3 x 10"):
+#   - resnet-family side/crop 256: reference
+#     website/docs/tutorial_torchhub_inference.md:84-91 (slowfast: also
+#     num_frames=32, sampling_rate=2, alpha=4; the slow pathway's
+#     UniformTemporalSubsample(num_frames//alpha) is the published 8x8
+#     protocol) and pytorchvideo_trainer conf
+#     datamodule/transforms/kinetics_classification_{slow,slowfast}.yaml
+#     test sections (ShortSideScale 256 + UniformCropVideo 256).
+#   - slowfast_16x8_r101_50_50: zoo row "16x8" is the slow pathway; the
+#     fast pathway decodes 64 frames at rate 2 with alpha=4 (reference
+#     hub/slowfast.py checkpoint naming + model_zoo.md:16).
+#   - csn_r101 (32x2) / r2plus1d_r50 (16x4): zoo rows model_zoo.md:17-18;
+#     256 side/crop is the family test protocol above (the reference
+#     publishes no per-model transform override for them).
+#   - x3d_xs: trainer conf kinetics_classification_x3d_xs.yaml test
+#     section (ShortSideScale 182 + crop 182); frames/rate model_zoo.md:19.
+#   - x3d_s/m: torchhub tutorial transform_params (182/182 @ 13x6,
+#     256/256 @ 16x5); x3d_l: 356 short side at 16x5 per the X3D test
+#     protocol the zoo row's FLOPs imply (no published yaml; flagged).
+#   - mvit: hub/vision_transformers.py:22 spatial_size 224 and trainer
+#     conf kinetics_classification_mvit_16x4.yaml test section
+#     (ShortSideScale 224 + UniformCropVideo 224 — NOT 256); views 1x5
+#     (model_zoo.md:22-23).
 EVAL_CONFIGS = {
     "c2d_r50": (8, 8, 256, 256, 10, 3, None),
     "i3d_r50": (8, 8, 256, 256, 10, 3, None),
@@ -49,8 +74,8 @@ EVAL_CONFIGS = {
     "x3d_s": (13, 6, 182, 182, 10, 3, None),
     "x3d_m": (16, 5, 256, 256, 10, 3, None),
     "x3d_l": (16, 5, 356, 356, 10, 3, None),
-    "mvit_base_16x4": (16, 4, 256, 224, 5, 1, None),
-    "mvit_base_32x3": (32, 3, 256, 224, 5, 1, None),
+    "mvit_base_16x4": (16, 4, 224, 224, 5, 1, None),
+    "mvit_base_32x3": (32, 3, 224, 224, 5, 1, None),
 }
 
 KINETICS_MEAN = [0.45, 0.45, 0.45]
