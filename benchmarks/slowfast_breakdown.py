@@ -27,13 +27,13 @@ Recorded run (v5e, B64, bf16 deploy form, 2026-08-18 session):
   => fast pathway: 11.19 GF/clip over 52.22 ms = 13.7 TF/s (~7% of the
   183 TF/s measured bf16 peak) vs slow pathway 54.52 GF over 38.97 ms
   = 89.5 TF/s (49%). The fast pathway's channel ladder (8/32/64/128/256)
-  sits under the 128-lane tile on nearly every conv: output channels are
-  lane-padded (C=8 stores 16x its bytes) and each implicit GEMM's N
-  dimension fills <=1/4 of the MXU lanes. A structural fix requires an
-  exact packed-channel (space-to-depth) rewrite of the whole pathway or a
-  fused Pallas bottleneck kernel keeping C-minor tiles in VMEM — both are
-  model-structure rewrites, not op swaps; documented as future work in
-  benchmarks/README.md.
+  sits under the 128-lane tile on most convs: output channels are
+  lane-padded (C=8 stores 16x its bytes) and the early stages' implicit
+  GEMMs are N-lane-starved (C=8/32 fill <=1/4 of the lanes; C=64 fills
+  half; only the res5 ladder reaches full width). The structural fix is
+  the exact packed-channel (space-to-depth) rewrite in layers/packed.py —
+  per-stage results in benchmarks/fastpath_micro.py (stages mode) and the
+  whole-model A/B in benchmarks/packed_micro.py.
 
 Run: python benchmarks/slowfast_breakdown.py [batch]
 """

@@ -107,6 +107,27 @@ def _pool_kernel(
         acc = jnp.full((h_out, w_out, o_ref.shape[-1]), -jnp.inf, jnp.float32)
     else:
         acc = jnp.zeros((h_out, w_out, o_ref.shape[-1]), jnp.float32)
+
+    def tap_slice(plane, dh, dw):
+        """plane[dh::stride_h, dw::stride_w][:h_out, :w_out] WITHOUT strided
+        slices (Mosaic rejects vector.extract_strided_slice with stride > 1,
+        verified on v5e): unit slice + dim-split reshape + index-0 take.
+        The H split touches only the untiled leading dim (free); the W
+        split re-groups the sublane dim (a VMEM relayout, no HBM)."""
+        Hp, Wp, C = plane.shape
+        hi = dh + (stride_h * h_out if stride_h > 1 else h_out)
+        seg = jax.lax.slice(plane, (dh, 0, 0), (hi, Wp, C))
+        if stride_h > 1:
+            seg = seg.reshape(h_out, stride_h, Wp, C)[:, 0]
+        wi = dw + (stride_w * w_out if stride_w > 1 else w_out)
+        seg = jax.lax.slice(seg, (0, dw, 0), (h_out, wi, C))
+        if stride_w > 1:
+            seg = seg.reshape(h_out, w_out, stride_w, C)[:, :, 0]
+        return seg
+
+    # extra high-side pad so the dim-split slices stay in bounds (the extra
+    # positions are never selected by the index-0 take)
+    eh, ew = max(stride_h - 1, 0), max(stride_w - 1, 0)
     for dt in range(kt):
         plane = x_refs[dt][0, 0]  # (H, W, C)
         if pad_t > 0:
@@ -118,24 +139,15 @@ def _pool_kernel(
             valid = jnp.logical_and(t_src >= 0, t_src < t_in)
         else:
             valid = None
-        if pad_h or pad_w:
+        if pad_h or pad_w or eh or ew:
             plane = jnp.pad(
                 plane,
-                ((pad_h, pad_h), (pad_w, pad_w), (0, 0)),
+                ((pad_h, pad_h + eh), (pad_w, pad_w + ew), (0, 0)),
                 constant_values=-jnp.inf if is_max else 0,
             )
         for dh in range(kh):
             for dw in range(kw):
-                tap = jax.lax.slice(
-                    plane,
-                    (dh, dw, 0),
-                    (
-                        dh + stride_h * (h_out - 1) + 1,
-                        dw + stride_w * (w_out - 1) + 1,
-                        plane.shape[-1],
-                    ),
-                    (stride_h, stride_w, 1),
-                ).astype(jnp.float32)
+                tap = tap_slice(plane, dh, dw).astype(jnp.float32)
                 if is_max:
                     if valid is not None:
                         tap = jnp.where(valid, tap, -jnp.inf)
@@ -167,15 +179,13 @@ def _supported(kernel: Size3, stride: Size3, padding: Size3) -> bool:
 def _hw_supported(kernel: Size3, stride: Size3, padding: Size3) -> bool:
     """Geometry the kernel can LOWER on real TPU hardware (Mosaic).
 
-    Strided taps compile in interpret mode but Mosaic rejects
-    ``vector.extract_strided_slice`` with stride > 1 ("expected strides to
-    be confined to [1, 2)") — measured on v5e with the MViT kv pool
-    (stride 8). Hardware dispatch therefore requires stride 1 everywhere;
-    strided pools take the XLA paths (disjoint-window rewrite below, or
-    grouped conv)."""
-    return _supported(kernel, stride, padding) and all(
-        int(s) == 1 for s in stride
-    )
+    Mosaic rejects ``vector.extract_strided_slice`` with stride > 1
+    ("expected strides to be confined to [1, 2)" — measured on v5e with
+    the MViT kv pool, stride 8), so the kernel's strided taps are written
+    as unit slice + dim-split reshape + index-0 take (``tap_slice`` in
+    ``_pool_kernel``), which lowers for any stride. The T stride rides the
+    BlockSpec index map and is unrestricted."""
+    return _supported(kernel, stride, padding)
 
 
 def _window_pool_applicable(kernel: Size3, stride: Size3) -> bool:
@@ -715,6 +725,17 @@ def depthwise_token_pool(
             # diagnostic: plain XLA grouped conv everywhere (the pre-round-2
             # configuration, no window rewrite) — for regression A/Bs.
             return _xla_depthwise_pool(x, w_packed, stride, padding)
+        elif mode == "pallas_kv":
+            # Pallas only for the large-stride (disjoint-window) kv pools,
+            # where the kernel's row-major taps now lower on hardware
+            # (tap_slice above; stride-2 geometries still crash Mosaic —
+            # v5e compile-helper exit 1) and the XLA grouped conv's
+            # relayout brackets are at their most expensive (full-res
+            # token tensors). Stride-1/2 pools stay on the grouped conv.
+            use_pallas = (
+                min(stride[1], stride[2]) >= 4
+                and _hw_supported(kernel, stride, padding)
+            )
         elif mode == "interpret":
             # CPU end-to-end testing of the Pallas wiring (weight tiling,
             # split-token threading) without a TPU.
