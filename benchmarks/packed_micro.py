@@ -1,11 +1,13 @@
 """A/B the packed-channel fast pathway on the real chip (SlowFast-R50 B64).
 
 Variants (all bf16 deploy form, identical params — layers/packed.py is a
-pure layout rewrite):
+pure layout rewrite; pack caps are ADAPTIVE: the pathway picks per-stage
+packs, 4->2 at the 28->14 stride boundary, unpacked at the odd 7x7 res5):
   plain      the shipping build
-  pack2      fast pathway res2-res4 packed 2x2 (res5 unpacked)
-  pack2_s2   res2-res3 packed 2x2
-  pack4_s2   res2-res3 packed 4x4 (res4's 14x14 output forbids pack 4)
+  adapt2     fast pathway pack cap 2
+  adapt4     fast pathway pack cap 4 (per-op measured optimum:
+             benchmarks/fastpath_micro.py — res2 pointwise/temporal convs
+             2.3-3.2x faster at pack 4, res4 conv 2x at pack 2)
 
 Run: python benchmarks/packed_micro.py [batch]
 """
@@ -28,9 +30,11 @@ BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 
 VARIANTS = {
     "plain": {},
-    "pack2": {"pathway_packs": (1, 2)},
-    "pack2_s2": {"pathway_packs": (1, 2), "packed_stages": 2},
-    "pack4_s2": {"pathway_packs": (1, 4), "packed_stages": 2},
+    "adapt2": {"pathway_packs": (1, 2)},
+    "adapt4": {"pathway_packs": (1, 4)},
+    # per-stage caps at the measured per-stage optimum (fastpath_micro.py
+    # stages): res2@4, res3+@2, fusion caps follow (stem@4, C>=128 plain)
+    "mixed": {"pathway_packs": (1, (4, 2, 2, 2))},
 }
 
 

@@ -89,16 +89,26 @@ def make_norm(norm, num_features=None, eps: float = 1e-5, momentum: float = 0.1,
     Accepts our linen norm classes (BatchNorm/LayerNorm/Identity), partials of
     them, or None. ``momentum`` follows torch convention (update fraction);
     linen decay = 1 - momentum. ``num_features`` is inferred by linen and
-    accepted only for reference API compatibility.
+    otherwise forwarded to pack-aware norms (see below).
     """
-    del num_features
     if norm is None:
         return None
     import functools
 
     base = norm.func if isinstance(norm, functools.partial) else norm
     if isinstance(base, type) and issubclass(base, BatchNorm):
-        return norm(momentum=1.0 - momentum, epsilon=eps, name=name)
+        # pack-aware norms (a `channels` dataclass field, e.g.
+        # layers/packed.PackedBatchNorm) receive num_features so they can
+        # infer the pack factor from the minor dim at call time
+        extra = {}
+        bound = norm.keywords if isinstance(norm, functools.partial) else {}
+        if (
+            num_features is not None
+            and "channels" in getattr(base, "__dataclass_fields__", {})
+            and "channels" not in bound
+        ):
+            extra["channels"] = num_features
+        return norm(momentum=1.0 - momentum, epsilon=eps, name=name, **extra)
     if isinstance(base, type) and issubclass(base, LayerNorm):
         return norm(epsilon=eps, name=name)
     return norm(name=name)

@@ -128,21 +128,141 @@ def unpack_hw(x: jax.Array, ph: int, pw: int, h: Optional[int] = None,
     return x
 
 
+def infer_pack(minor: int, channels: int) -> int:
+    """Pack factor p of a (possibly packed) tensor: minor == p*p*channels.
+    Adaptive packing only ever produces SQUARE packs, so p is recoverable
+    from the minor dim alone."""
+    q, rem = divmod(minor, channels)
+    p = math.isqrt(q)
+    if rem or p * p != q:
+        raise ValueError(
+            f"minor dim {minor} is not a square pack of C={channels}"
+        )
+    return p
+
+
+class WPackedConv3d(nn.Module):
+    """W-only OUTPUT-blocked conv for tiny-``features`` stems (exact).
+
+    A stem conv with few output channels is N-lane-bound on the MXU: the
+    implicit GEMM's N dim is ``features``, so F=8 (SlowFast fast stem,
+    reference models/slowfast.py:56) fills 8 of 128 lanes and the op runs
+    at ~6% MFU no matter how the INPUT is fed (measured 27.5 ms of a
+    116 ms SlowFast-R50 B64 step — benchmarks/fastpath_micro.py stages).
+    This module emits the output with ``out_block`` consecutive W
+    positions packed into the minor dim — N becomes ``out_block*F`` lanes
+    — by embedding each output phase's kernel taps at its stride offset
+    (plan_dim/_embed_matrix, the same machinery as PackedConv3d but along
+    W only). K inflates to the union window ``(out_block-1)*s + k`` per
+    tap row, which for q=16,s=2,k=7 is a 5.3x FLOP inflation against a
+    16x lane gain. Because W-packing keeps row-major element order, the
+    input needs NO reshape (b_in=1) and the packed output unpacks with a
+    FREE reshape — no transpose ever reaches HBM (the same property
+    WBlockedConv exploits on the input side, layers/common.py:122).
+
+    ``in_block`` optionally blocks the input W axis too (a free reshape),
+    which shrinks the conv's block-kernel taps while keeping K ~equal;
+    whether that helps is an XLA scheduling question — both knobs are
+    swept on hardware in benchmarks/fastpath_micro.py.
+
+    Parameter tree is identical to ``nn.Conv``; falls back to the plain
+    conv whenever the geometry doesn't fit (indivisible dims, q == 1).
+    """
+
+    features: int
+    kernel_size: Size3
+    out_block: int = 0  # q; 0 = auto (fill 128 lanes)
+    in_block: int = 1  # b_in for the W axis
+    strides: Size3 = (1, 1, 1)
+    padding: Size3 = (0, 0, 0)  # symmetric per-dim counts
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel_size
+        st, sh, sw = self.strides
+        pt, hp, wp = self.padding
+        C, F = x.shape[-1], self.features
+        w = self.param(
+            "kernel", nn.linear.default_kernel_init, (kt, kh, kw, C, F)
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros_init(), (F,))
+            if self.use_bias
+            else None
+        )
+        w = w.astype(x.dtype)
+
+        def plain(xx):
+            out = jax.lax.conv_general_dilated(
+                xx, w,
+                window_strides=self.strides,
+                padding=[(pt, pt), (hp, hp), (wp, wp)],
+                dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+            )
+            if b is not None:
+                out = out + b.astype(out.dtype)
+            return out
+
+        q = self.out_block or max(1, 128 // F)
+        W_in = x.shape[3]
+        n_out = (W_in + 2 * wp - kw) // sw + 1
+        while q > 1 and (n_out % q or (q * sw) % self.in_block):
+            q -= 1
+        if q <= 1 or W_in % self.in_block:
+            return plain(x)
+
+        plan = plan_dim(W_in, kw, sw, wp, self.in_block, q)
+        Ew = jnp.asarray(_embed_matrix(plan, kw), x.dtype)
+        # blk[t,h,m,(u,c),(v,f)] = sum_d w[t,h,d,c,f] * Ew[v,d,m,u]
+        blk = jnp.einsum("thdcf,vdmu->thmucvf", w, Ew).reshape(
+            kt, kh, plan.nblk, self.in_block * C, q * F
+        )
+        if self.in_block > 1:
+            B, T, H = x.shape[:3]
+            x = x.reshape(B, T, H, W_in // self.in_block, self.in_block * C)
+        out = jax.lax.conv_general_dilated(
+            x, blk,
+            window_strides=(st, sh, plan.stride),
+            padding=[(pt, pt), (hp, hp), (plan.lb, plan.rb)],
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+        )
+        if out.shape[3] > plan.nb_out:
+            out = out[:, :, :, : plan.nb_out, :]
+        B, T, H = out.shape[:3]
+        out = out.reshape(B, T, H, plan.nb_out * q, F)  # free (row-major)
+        if plan.nb_out * q > n_out:
+            out = out[:, :, :, :n_out, :]
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out
+
+
 class PackedConv3d(nn.Module):
     """Conv3D over space-to-depth packed activations; exact, nn.Conv params.
 
-    ``in_channels`` is the ORIGINAL channel count; the input may arrive
-    unpacked (minor dim == in_channels: it is packed in-kernel first — a
-    reshape+transpose XLA CSEs across same-input consumers) or packed
-    (minor dim == ph*pw*in_channels). Output stays packed unless
-    ``unpack_output`` (or ``pack == (1, 1)``, the auto-unpacking plain-conv
-    mode for a stage that consumes a packed producer).
+    ``pack`` is a CAP, not a prescription: at trace time the module infers
+    the input's pack factor p_in from its minor dim (square packs only),
+    packs an unpacked input up to the cap when the dims divide, and picks
+    the LARGEST legal output pack p_out <= cap with
+
+        (p_out * stride) % p_in == 0       (integer block stride) and
+        n_out % p_out == 0                 (no garbage phases downstream)
+
+    per spatial dim — so a pathway self-adapts per stage: pack-4 through
+    the 56x56/28x28 stages, 4->2 at a stride-2 boundary whose output is
+    14, and a direct-to-unpacked block conv (p_out=1) where dims go odd
+    (the 7x7 res5). Measured per-op on v5e (benchmarks/fastpath_micro.py,
+    B64 bf16): pack-4 runs res2's pointwise/temporal convs 2.3-3.2x faster
+    and res3's strided conv 1.4x; uniform pack-2 (the first shipped
+    config) is neutral — the win comes from filling the 128-lane tile,
+    which C=8..32 at pack 2 still does not.
     """
 
     features: int
     kernel_size: Size3
     in_channels: int
-    pack: Size2 = (2, 2)
+    pack: int = 4  # cap per spatial dim (square packs)
     strides: Size3 = (1, 1, 1)
     padding: Size3 = (0, 0, 0)  # symmetric per-dim counts
     use_bias: bool = True
@@ -153,8 +273,8 @@ class PackedConv3d(nn.Module):
     def __call__(self, x):
         kt, kh, kw = self.kernel_size
         st, sh, sw = self.strides
-        pt, ph_pad, pw_pad = self.padding
-        ph, pw = self.pack
+        pt, hp, wp = self.padding
+        cap = int(self.pack)
         C, F = self.in_channels, self.features
         w = self.param(
             "kernel", nn.linear.default_kernel_init, (kt, kh, kw, C, F)
@@ -166,64 +286,73 @@ class PackedConv3d(nn.Module):
         )
         w = w.astype(x.dtype)
 
-        packed_minor = ph * pw * C
-        if x.shape[-1] == packed_minor and packed_minor != C:
-            packed_in = True
-        elif x.shape[-1] == C:
-            packed_in = False
-        else:
-            raise ValueError(
-                f"input minor dim {x.shape[-1]} is neither C={C} nor "
-                f"packed {packed_minor}"
-            )
-
-        if self.unpack_input:
-            if packed_in:
-                x = unpack_hw(x, ph, pw)
+        def plain_conv(xx):
             out = jax.lax.conv_general_dilated(
-                x, w,
+                xx, w,
                 window_strides=self.strides,
-                padding=[(pt, pt), (ph_pad, ph_pad), (pw_pad, pw_pad)],
+                padding=[(pt, pt), (hp, hp), (wp, wp)],
                 dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
             )
             if b is not None:
                 out = out + b.astype(out.dtype)
             return out
 
-        plain = ph == 1 and pw == 1
-        if not plain and not packed_in and (
-            x.shape[2] % ph or x.shape[3] % pw
-        ):
-            # unpacked input whose dims don't divide the pack (e.g. a fusion
-            # conv consuming a stage that stayed unpacked): plain conv is
-            # semantically identical
-            plain = True
-        if plain:
-            out = jax.lax.conv_general_dilated(
-                x, w,
-                window_strides=self.strides,
-                padding=[(pt, pt), (ph_pad, ph_pad), (pw_pad, pw_pad)],
-                dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+        p_in = infer_pack(x.shape[-1], C)
+        if self.unpack_input and p_in > 1:
+            x, p_in = unpack_hw(x, p_in, p_in), 1
+        h_in = x.shape[2] * (p_in if p_in > 1 else 1)
+        w_in = x.shape[3] * (p_in if p_in > 1 else 1)
+        n_out_h = (h_in + 2 * hp - kh) // sh + 1
+        n_out_w = (w_in + 2 * wp - kw) // sw + 1
+
+        def p_out_for(p):
+            return next(
+                (
+                    po
+                    for po in range(cap, 0, -1)
+                    if (po * sh) % p == 0
+                    and (po * sw) % p == 0
+                    and n_out_h % po == 0
+                    and n_out_w % po == 0
+                ),
+                0,
             )
-            if b is not None:
-                out = out + b.astype(out.dtype)
-            return out
 
-        if not packed_in:
-            h_in, w_in = x.shape[2], x.shape[3]
-            x = pack_hw(x, ph, pw)
-        else:
-            h_in, w_in = x.shape[2] * ph, x.shape[3] * pw
+        if p_in > 1:
+            p_out = p_out_for(p_in)
+            if p_out == 0:
+                # no legal packed geometry from this input pack (e.g. a
+                # pack-4 producer feeding a cap-2 stage): REPACK — unpack
+                # and fall through to the unpacked-input selection below.
+                # Identical repacks across a stage's consumers (conv_a +
+                # conv_skip + the fusion conv) CSE into one relayout.
+                x, p_in = unpack_hw(x, p_in, p_in), 1
+        if p_in == 1:
+            if self.unpack_input:
+                return plain_conv(x)
+            choice = next(
+                (
+                    (p, p_out_for(p))
+                    for p in range(cap, 1, -1)
+                    if h_in % p == 0 and w_in % p == 0 and p_out_for(p) > 0
+                ),
+                None,
+            )
+            if choice is None:
+                return plain_conv(x)
+            p_in, p_out = choice
+            x = pack_hw(x, p_in, p_in)
 
-        plan_h = plan_dim(h_in, kh, sh, ph_pad, ph, ph)
-        plan_w = plan_dim(w_in, kw, sw, pw_pad, pw, pw)
+        plan_h = plan_dim(h_in, kh, sh, hp, p_in, p_out)
+        plan_w = plan_dim(w_in, kw, sw, wp, p_in, p_out)
         Eh = jnp.asarray(_embed_matrix(plan_h, kh), x.dtype)
         Ew = jnp.asarray(_embed_matrix(plan_w, kw), x.dtype)
         # w: (t, h, w, c, f); Eh: (V, h, M, U); Ew: (v, w, m, u)
         blk = jnp.einsum("thwcf,VhMU->tMUwcVf", w, Eh)
         blk = jnp.einsum("tMUwcVf,vwmu->tMmUucVvf", blk, Ew)
         blk = blk.reshape(
-            kt, plan_h.nblk, plan_w.nblk, ph * pw * C, ph * pw * F
+            kt, plan_h.nblk, plan_w.nblk,
+            p_in * p_in * C, p_out * p_out * F,
         )
         out = jax.lax.conv_general_dilated(
             x, blk,
@@ -235,34 +364,32 @@ class PackedConv3d(nn.Module):
         if out.shape[2] > plan_h.nb_out or out.shape[3] > plan_w.nb_out:
             out = out[:, :, : plan_h.nb_out, : plan_w.nb_out, :]
         if b is not None:
-            out = out + jnp.tile(b, ph * pw).astype(out.dtype)
-        if self.unpack_output:
-            out = unpack_hw(out, ph, pw, plan_h.n_out, plan_w.n_out)
-        elif plan_h.n_out % ph or plan_w.n_out % pw:
-            # garbage phases in a kept-packed output would poison downstream
-            # shape inference, BN statistics and pooling
-            raise ValueError(
-                f"packed output spatial dims ({plan_h.n_out},{plan_w.n_out}) "
-                f"not divisible by pack ({ph},{pw}); lower packed_stages or "
-                f"the pack factor"
-            )
+            out = out + jnp.tile(b, p_out * p_out).astype(out.dtype)
+        if self.unpack_output and p_out > 1:
+            out = unpack_hw(out, p_out, p_out, plan_h.n_out, plan_w.n_out)
         return out
 
 
 class PackedBatchNorm(BatchNorm):
     """BatchNorm over packed channels: params/stats are per ORIGINAL channel
-    (shape (C,), identical tree to BatchNorm) and batch statistics reduce
-    over the phase dim too — numerically identical to unpacked BatchNorm
-    (same element multiset per channel)."""
+    (shape (``channels``,), identical tree to BatchNorm); the pack factor is
+    inferred from the minor dim at call time, so one norm instance serves
+    mixed-pack positions (e.g. a pack-4 conv_a next to a pack-2 conv_b at a
+    stride boundary). Batch statistics reduce over the phase dim too —
+    numerically identical to unpacked BatchNorm (same element multiset per
+    channel)."""
 
-    pack: int = 1  # ph * pw
+    channels: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.pack == 1:
+        pack = 1
+        if self.channels is not None and x.shape[-1] != self.channels:
+            pack = x.shape[-1] // self.channels
+        if pack == 1:
             return super().__call__(x, train=train)
         lead, pc = x.shape[:-1], x.shape[-1]
-        x = x.reshape(*lead, self.pack, pc // self.pack)
+        x = x.reshape(*lead, pack, pc // pack)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
@@ -277,10 +404,11 @@ class PackedBatchNorm(BatchNorm):
         return x.reshape(*lead, pc)
 
 
-def packed_conv_factory(pack: Size2, unpack_output: bool = False,
+def packed_conv_factory(pack: int, unpack_output: bool = False,
                         unpack_input: bool = False):
     """Conv3d-signature factory (the builders' injectable-callable idiom,
-    reference models/resnet.py:17-41) producing :class:`PackedConv3d`."""
+    reference models/resnet.py:17-41) producing :class:`PackedConv3d` with
+    pack cap ``pack``."""
 
     def factory(*, in_channels=None, out_channels, kernel_size,
                 stride=(1, 1, 1), padding=(0, 0, 0), bias=True, groups=1,
@@ -294,7 +422,7 @@ def packed_conv_factory(pack: Size2, unpack_output: bool = False,
             features=out_channels,
             kernel_size=triple(kernel_size),
             in_channels=in_channels,
-            pack=pack,
+            pack=int(pack),
             strides=triple(stride),
             padding=triple(padding),
             use_bias=bias,
@@ -306,11 +434,12 @@ def packed_conv_factory(pack: Size2, unpack_output: bool = False,
     return factory
 
 
-def packed_norm(norm, pack: int):
+def packed_norm(norm):
     """Rewrite a BatchNorm-family norm factory to its packed equivalent
-    (stats per original channel; identical param tree). ``None`` passes
-    through; non-BatchNorm norms are rejected (their packed semantics would
-    differ from the unpacked reference)."""
+    (stats per original channel; identical param tree; pack inferred per
+    call from the minor dim — make_norm supplies ``channels``). ``None``
+    passes through; non-BatchNorm norms are rejected (their packed
+    semantics would differ from the unpacked reference)."""
     import functools
 
     if norm is None:
@@ -319,4 +448,4 @@ def packed_norm(norm, pack: int):
     kw = dict(norm.keywords) if isinstance(norm, functools.partial) else {}
     if not (isinstance(base, type) and issubclass(base, BatchNorm)):
         raise ValueError(f"packed pathways require BatchNorm norms, got {base}")
-    return functools.partial(PackedBatchNorm, pack=pack, **kw)
+    return functools.partial(PackedBatchNorm, **kw)

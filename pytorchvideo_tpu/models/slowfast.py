@@ -60,6 +60,7 @@ class FastToSlowFusionBuilder:
         activation: Optional[Callable] = nn.relu,
         max_stage_idx: int = 3,
         conv: Callable = Conv3d,
+        pack_caps: Optional[Sequence[int]] = None,
     ):
         self.slowfast_channel_reduction_ratio = slowfast_channel_reduction_ratio
         self.conv_fusion_channel_ratio = conv_fusion_channel_ratio
@@ -71,14 +72,30 @@ class FastToSlowFusionBuilder:
         self.activation = activation
         self.max_stage_idx = max_stage_idx
         self.conv = conv
+        self.pack_caps = pack_caps
 
     def create_module(self, fusion_dim_in: int, stage_idx: int):
         if stage_idx > self.max_stage_idx:
             return None
         conv_dim_in = fusion_dim_in // self.slowfast_channel_reduction_ratio
         conv_dim_out = int(conv_dim_in * self.conv_fusion_channel_ratio)
+        conv = self.conv
+        if self.pack_caps is not None:
+            # Pack the fusion conv to the NEXT fast stage's cap so its
+            # repack CSEs with that stage's; measured per-stage on v5e
+            # (fastpath_micro.py stages, B64): packed wins through C=64
+            # (0.17/2.1/1.6 ms vs 0.9/3.6/1.7 plain) but LOSES at C=128
+            # (1.0 vs 0.35 — pointwise block conv inflates FLOPs p^2 x
+            # against a GEMM that already fills the lanes), so wide
+            # fusions drop to cap 1 (auto-unpack + plain conv).
+            cap = (
+                self.pack_caps[min(stage_idx, len(self.pack_caps) - 1)]
+                if conv_dim_in < 128
+                else 1
+            )
+            conv = packed_conv_factory(cap, unpack_output=True)
         return FuseFastToSlow(
-            conv_fast_to_slow=self.conv(
+            conv_fast_to_slow=conv(
                 in_channels=conv_dim_in,
                 out_channels=conv_dim_out,
                 kernel_size=self.conv_kernel_size,
@@ -158,19 +175,23 @@ def create_slowfast(
     head_activation: Optional[Callable] = None,
     head_output_with_global_average: bool = True,
     stage_depths: Optional[Tuple[int, ...]] = None,
-    pathway_packs: Optional[Sequence[int]] = None,
+    pathway_packs: Optional[Sequence] = None,
     packed_stages: Optional[int] = None,
 ) -> Net:
     """Builder (reference slowfast.py:20-363). `stage_depths` overrides the
     depth table (extension; e.g. (1, 1, 1, 1) for tiny configs).
 
-    TPU extension — packed-channel pathways: ``pathway_packs[p]`` >= 2 runs
-    pathway ``p``'s first ``packed_stages`` res stages (default: all but the
-    last) in a space-to-depth packed layout (layers/packed.py) so tiny
-    channel ladders fill the 128-lane tile; exact, identical param tree.
-    Requires the pathway's stage spatial dims to be divisible by the pack
-    factor (224/256-crop SlowFast: 56/28/14 all divide 2 and 4 through
-    res4; res5's 7x7 stays unpacked).
+    TPU extension — packed-channel pathways: ``pathway_packs[p]`` is a pack
+    CAP (int, uniform) or a per-stage sequence of caps; a cap >= 2 runs
+    that pathway's res stages in a space-to-depth packed layout
+    (layers/packed.py) so tiny channel ladders fill the 128-lane tile —
+    exact, identical param tree, with automatic per-conv pack adaptation
+    (4->2 at stride boundaries, repack between stages with different caps,
+    plain fallback on indivisible dims). Measured per-stage optimum for
+    SlowFast-R50 @224 on v5e (benchmarks/fastpath_micro.py stages): res2
+    cap 4 (12.9 -> 6.6 ms), res3/res4 cap 2 (pack-4's dense-phase FLOP
+    inflation overtakes the lane gain once C >= 32), i.e.
+    ``pathway_packs=(1, (4, 2, 2, 2))``.
     """
     _num_pathway = len(input_channels)
     if stage_depths is None:
@@ -184,18 +205,28 @@ def create_slowfast(
     if callable(bottleneck):
         bottleneck = ((bottleneck,) * len(stage_depths),) * _num_pathway
 
-    packs = list(pathway_packs) if pathway_packs else [1] * _num_pathway
-    packs += [1] * (_num_pathway - len(packs))
-    packs = [max(int(v or 1), 1) for v in packs]
     n_packed = (
-        packed_stages if packed_stages is not None else len(stage_depths) - 1
-    )
-    assert n_packed <= len(stage_depths) - 1, (
-        "the last res stage must stay unpacked (head pools consume it)"
+        packed_stages if packed_stages is not None else len(stage_depths)
     )
 
+    def _stage_caps(v):
+        """Per-stage pack caps from an int (uniform) or per-stage seq."""
+        if isinstance(v, (tuple, list)):
+            caps = [max(int(c or 1), 1) for c in v]
+            caps += [caps[-1] if caps else 1] * (len(stage_depths) - len(caps))
+        else:
+            caps = [max(int(v or 1), 1)] * len(stage_depths)
+        return [
+            caps[i] if i < n_packed else 1 for i in range(len(stage_depths))
+        ]
+
+    packs_in = list(pathway_packs) if pathway_packs else []
+    packs_in += [1] * (_num_pathway - len(packs_in))
+    stage_caps = [_stage_caps(v) for v in packs_in]
+    packs = [max(caps) for caps in stage_caps]  # any-packed flag per pathway
+
     if fusion_builder is None:
-        fast_pack = packs[1] if _num_pathway > 1 else 1
+        fast_caps = stage_caps[1] if _num_pathway > 1 else [1]
         fusion_builder = FastToSlowFusionBuilder(
             slowfast_channel_reduction_ratio=slowfast_channel_reduction_ratio[0],
             conv_fusion_channel_ratio=slowfast_conv_channel_fusion_ratio,
@@ -204,13 +235,7 @@ def create_slowfast(
             norm=norm,
             activation=activation,
             max_stage_idx=len(stage_depths) - 1,
-            conv=(
-                packed_conv_factory(
-                    (fast_pack, fast_pack), unpack_output=True
-                )
-                if fast_pack > 1
-                else Conv3d
-            ),
+            pack_caps=fast_caps if max(fast_caps) > 1 else None,
         ).create_module
 
     stems = []
@@ -264,14 +289,14 @@ def create_slowfast(
                 if isinstance(conv_a_kernel[0], int)
                 else [[s // 2 for s in sizes] for sizes in conv_a_kernel]
             )
-            if packs[p] > 1 and idx < n_packed:
-                conv_f = packed_conv_factory((packs[p], packs[p]))
-                norm_f = packed_norm(norm, packs[p] * packs[p])
-            elif packs[p] > 1 and idx == n_packed:
+            cap_pi = stage_caps[p][idx]
+            prev_cap = stage_caps[p][idx - 1] if idx > 0 else 1
+            if cap_pi > 1:
+                conv_f = packed_conv_factory(cap_pi)
+                norm_f = packed_norm(norm)
+            elif prev_cap > 1:
                 # first unpacked stage: block 0 d2s-unpacks the packed input
-                conv_f = packed_conv_factory(
-                    (packs[p], packs[p]), unpack_input=True
-                )
+                conv_f = packed_conv_factory(prev_cap, unpack_input=True)
                 norm_f = norm
             else:
                 conv_f, norm_f = Conv3d, norm
@@ -336,6 +361,30 @@ def create_slowfast(
         ]
     else:
         raise NotImplementedError(f"Unsupported head_pool {head_pool}")
+
+    if pool_model is not None and any(v > 1 for v in packs):
+        # a packed pathway's last stage may legally stay packed (e.g.
+        # 256-crop: res5 emits 8x8); d2s-unpack right before the head pool
+        from pytorchvideo_tpu.layers.packed import infer_pack, unpack_hw
+
+        def _unpacking_pool(pool, channels):
+            def f(x):
+                q = infer_pack(x.shape[-1], channels)
+                if q > 1:
+                    x = unpack_hw(x, q, q)
+                return pool(x)
+
+            return f
+
+        head_channels = [stage_dim_in] + [
+            stage_dim_in // rr for rr in slowfast_channel_reduction_ratio
+        ]
+        pool_model = [
+            _unpacking_pool(pool_model[i], head_channels[i])
+            if packs[i] > 1
+            else pool_model[i]
+            for i in range(_num_pathway)
+        ]
 
     stages.append(PoolConcatPathway(retain_list=False, pool=pool_model))
     head_in_features = stage_dim_in

@@ -64,12 +64,42 @@ def create_res_basic_stem(
     """Basic video stem builder (reference stem.py:11-107).
 
     Like :func:`create_conv_patch_embed`, the default tiny-C_in strided
-    stem conv is built as the stride-blocked :class:`WBlockedConv`
-    (identical param tree, exact math): XLA:TPU pads the 3-channel minor
-    dim to the 128-lane tile, so the plain conv runs ~10x off the MXU
-    roofline and its operand relayout rewrites the full input tensor.
+    stem conv is built layout-blocked (identical param tree, exact math):
+    XLA:TPU pads the 3-channel minor dim to the 128-lane tile, so the
+    plain conv runs ~10x off the MXU roofline and its operand relayout
+    rewrites the full input tensor. When the stem also has FEW OUTPUT
+    channels the implicit GEMM is N-lane-bound too; the W-output-blocked
+    :class:`~pytorchvideo_tpu.layers.packed.WPackedConv3d` packs
+    ``128 // out_channels`` output columns into the lanes — measured on
+    v5e B64 bf16 (benchmarks/fastpath_micro.py wstem): SlowFast fast stem
+    conv 26.4 -> 19.7 ms, slow stem 4.3 -> 2.7 ms; falls back to
+    :class:`WBlockedConv` (input-side stride blocking only) for wide
+    stems like the MViT patch embed.
     """
+    import os as _os
+
     if (
+        conv is Conv3d
+        and in_channels * triple(conv_stride)[2] <= 32
+        and triple(conv_stride)[2] > 1
+        and 128 // out_channels >= 2
+        and all(p0 == p1 for p0, p1 in pad_pairs(conv_padding))
+        and _os.environ.get("PVT_WSTEM", "0") == "1"
+    ):
+        from pytorchvideo_tpu.layers.packed import WPackedConv3d
+
+        kw_, sw_ = triple(conv_kernel_size)[2], triple(conv_stride)[2]
+        conv_module = WPackedConv3d(
+            features=out_channels,
+            kernel_size=triple(conv_kernel_size),
+            out_block=0,  # auto: fill 128 lanes
+            in_block=2 if kw_ > 3 and (128 // out_channels * sw_) % 2 == 0
+            else 1,
+            strides=triple(conv_stride),
+            padding=triple(conv_padding),
+            use_bias=conv_bias,
+        )
+    elif (
         conv is Conv3d
         and in_channels * triple(conv_stride)[2] <= 32
         and triple(conv_stride)[2] > 1

@@ -33,10 +33,15 @@ def _inputs(rng):
     ]
 
 
-@pytest.mark.parametrize("pack,stages", [(2, None), (4, 2)])
+@pytest.mark.parametrize(
+    "pack,stages",
+    [(2, None), (4, None), (4, 2), ((4, 2, 2, 2), None), ((2, 4, 1, 2), None)],
+)
 def test_packed_matches_plain(pack, stages):
-    # pack 4 stops after res3: res4's output spatial dim (2 here, 14 in the
-    # 224-crop model) is not divisible by 4
+    # pack factors are adaptive caps: at pack 4 the pathway self-transitions
+    # 4->2 at the stride boundary whose output stops dividing 4, and to
+    # unpacked (p_out=1) where dims go odd; packed_stages=2 additionally
+    # pins the tail stages to plain convs (explicit unpack boundary)
     rng = np.random.default_rng(0)
     x = _inputs(rng)
     plain = create_slowfast(**_tiny_kwargs())
