@@ -732,6 +732,16 @@ def depthwise_token_pool(
             # v5e compile-helper exit 1) and the XLA grouped conv's
             # relayout brackets are at their most expensive (full-res
             # token tensors). Stride-1/2 pools stay on the grouped conv.
+            # MEASURED (round 3, same-session v5e, MViT-B 16x4 b16):
+            # grouped 367.9 clips/s vs pallas_kv 330.1 — a 10% whole-model
+            # LOSS despite the kernel lowering and running 0.26 ms at the
+            # block-0 shape. Swapping the pool op does not remove the
+            # layout boundary; XLA re-brackets the pallas_call operands
+            # instead. Third strike for op-substitution here (window
+            # rewrite, full pallas, pallas_kv) — consistent with the
+            # mvit_roofline.md conclusion that only a block-granularity
+            # fusion (pool inside the attention kernel's operand
+            # streaming) can remove this movement. Kept as a diagnostic.
             use_pallas = (
                 min(stride[1], stride[2]) >= 4
                 and _hw_supported(kernel, stride, padding)
