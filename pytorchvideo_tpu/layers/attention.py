@@ -76,6 +76,43 @@ class _PoolConvParams(nn.Module):
         )
 
 
+class _LNParamsInner(nn.Module):
+    """Param twin of nn.LayerNorm (scale/bias of (dim,)) — name "ln"."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _FusedPoolParams(nn.Module):
+    """Param-tree twin of a conv+LN TokenPool (``pool/kernel`` +
+    ``norm/ln/{scale,bias}``) so the fused kv-pool attention kernel
+    (ops/fused_kvpool_attention.py) can read the SAME parameters the
+    unfused path declares — checkpoints and init are path-agnostic."""
+
+    kernel: Size3
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        w = _PoolConvParams(self.kernel, 1, self.c, name="pool")()
+        # match TokenPool's nesting: norm (LayerNorm wrapper) -> ln
+        return w, _TwoLevelLN(self.c, name="norm")()
+
+
+class _TwoLevelLN(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNParamsInner(self.dim, name="ln")()
+
+
 class TokenPool(nn.Module):
     """Pool a flattened token tensor through its (T, H, W) geometry.
 
@@ -336,6 +373,80 @@ class MultiScaleAttention(nn.Module):
         B, N, L, c = x.shape
         return x.transpose(0, 2, 1, 3).reshape(B, L, N * c)
 
+    def _fused_kv_attention(self, q, k_, v_, thw, kkv, head_dim, train):
+        """kv-pool + LN + attention in ONE pallas_call
+        (ops/fused_kvpool_attention.py) — removes the grouped-conv layout
+        boundary the roofline doc shows is otherwise unremovable. Params
+        are declared through the TokenPool tree twins (_FusedPoolParams),
+        so this path and the unfused one share the same checkpoint."""
+        import functools as _ft
+
+        from pytorchvideo_tpu.ops.fused_kvpool_attention import (
+            fused_kvpool_attention,
+        )
+        from pytorchvideo_tpu.ops.pooled_attention import (
+            pooled_attention_packed_xla,
+        )
+
+        Hg, HC = self.num_heads, self.dim_out
+        c = head_dim
+        eps = (
+            self.norm_layer.keywords.get("epsilon", 1e-5)
+            if isinstance(self.norm_layer, _ft.partial)
+            else 1e-5
+        )
+        kernel = triple(kkv)
+        stride = triple(self.stride_kv)
+        cls_q, grid_q = q
+        cls_k, grid_k = k_
+        cls_v, grid_v = v_
+
+        wk, (lnk_s, lnk_b) = _FusedPoolParams(kernel, c, name="pool_k")()
+        wv, (lnv_s, lnv_b) = _FusedPoolParams(kernel, c, name="pool_v")()
+        kt, kh, kw = kernel
+        dt = grid_k.dtype
+
+        def tile_w(w):
+            return (
+                jnp.tile(w[..., 0, :], (1, 1, 1, Hg))
+                .reshape(kt * kh * kw, HC)
+                .astype(dt)
+            )
+
+        def tile_ln(s, b):
+            return jnp.stack([jnp.tile(s, Hg), jnp.tile(b, Hg)]).astype(dt)
+
+        def ln_cls(t, s, b):
+            if t is None:
+                return None
+            B = t.shape[0]
+            x = t.reshape(B, 1, Hg, c).astype(jnp.float32)
+            mean = x.mean(-1, keepdims=True)
+            var = ((x - mean) ** 2).mean(-1, keepdims=True)
+            x = (x - mean) * jax.lax.rsqrt(var + eps)
+            x = x * s.astype(jnp.float32) + b.astype(jnp.float32)
+            return x.reshape(B, 1, HC).astype(t.dtype)
+
+        cls_k_n = ln_cls(cls_k, lnk_s, lnk_b)
+        cls_v_n = ln_cls(cls_v, lnv_s, lnv_b)
+
+        grid_out, kp, vp = fused_kvpool_attention(
+            grid_q, grid_k, grid_v,
+            tile_w(wk), tile_w(wv),
+            tile_ln(lnk_s, lnk_b), tile_ln(lnv_s, lnv_b),
+            cls_k_n, cls_v_n,
+            tuple(thw), Hg, head_dim**-0.5, self.residual_pool,
+            kernel, stride, eps,
+        )
+        cls_out = None
+        if cls_q is not None:
+            k_full = jnp.concatenate([cls_k_n, kp], axis=1)
+            v_full = jnp.concatenate([cls_v_n, vp], axis=1)
+            cls_out = pooled_attention_packed_xla(
+                cls_q, k_full, v_full, Hg, head_dim**-0.5, self.residual_pool
+            )
+        return cls_out, grid_out
+
     @nn.compact
     def __call__(self, x, thw: Size3, train: bool = False):
         assert self.pool_mode in ("conv", "avg", "max")
@@ -472,64 +583,86 @@ class MultiScaleAttention(nn.Module):
             q, q_thw = pool(
                 "pool_q", kq, self.stride_q, head_groups=self.num_heads
             )(q_, thw, train)
-            k, k_thw = pool(
-                "pool_k", kkv, self.stride_kv, head_groups=self.num_heads
-            )(k_, thw, train)
-            v, v_thw = pool(
-                "pool_v", kkv, self.stride_kv, head_groups=self.num_heads
-            )(v_, thw, train)
 
             head_dim = self.dim_out // self.num_heads
-            from pytorchvideo_tpu.ops.pooled_attention import (
-                pooled_attention_packed,
-                pooled_attention_packed_xla,
-            )
+            import os as _os
 
-            cls_q, grid_q = q
-            # Keys/values DO need the cls row in front (every query attends
-            # to it) — but only at the POOLED length, a tiny concat.
-            cls_k, grid_k = k
-            cls_v, grid_v = v
-            k_full = (
-                grid_k
-                if cls_k is None
-                else jnp.concatenate([cls_k, grid_k], axis=1)
-            )
-            v_full = (
-                grid_v
-                if cls_v is None
-                else jnp.concatenate([cls_v, grid_v], axis=1)
-            )
+            from pytorchvideo_tpu.ops.fused_kvpool_attention import fusable
 
-            attn_fn = (
-                pooled_attention_packed_xla
-                # Init often runs host-side under jax.default_device(cpu),
-                # where pallas can't lower.
-                if self.is_initializing()
-                else pooled_attention_packed
+            use_fused = (
+                _os.environ.get("PVT_FUSED_KVPOOL", "0") == "1"
+                and not self.is_initializing()
+                and self.pool_mode == "conv"
+                and self.depthwise_conv
+                and kkv is not None
+                and self.norm_layer is not None
+                and not norm_is_batchnorm(self.norm_layer)
+                and fusable(
+                    thw, self.dim_out, triple(kkv), triple(self.stride_kv)
+                )
             )
-            grid_out = attn_fn(
-                grid_q,
-                k_full,
-                v_full,
-                self.num_heads,
-                head_dim**-0.5,
-                self.residual_pool,
-            )
-            cls_out = (
-                None
-                if cls_q is None
-                # Single-row query: the XLA einsum path is free (and the
-                # Pallas dispatch floor routes it there anyway).
-                else pooled_attention_packed_xla(
-                    cls_q,
+            if use_fused:
+                cls_out, grid_out = self._fused_kv_attention(
+                    q, k_, v_, thw, kkv, head_dim, train
+                )
+            else:
+                k, k_thw = pool(
+                    "pool_k", kkv, self.stride_kv, head_groups=self.num_heads
+                )(k_, thw, train)
+                v, v_thw = pool(
+                    "pool_v", kkv, self.stride_kv, head_groups=self.num_heads
+                )(v_, thw, train)
+                from pytorchvideo_tpu.ops.pooled_attention import (
+                    pooled_attention_packed,
+                    pooled_attention_packed_xla,
+                )
+
+                cls_q, grid_q = q
+                # Keys/values DO need the cls row in front (every query
+                # attends to it) — but only at the POOLED length, a tiny
+                # concat.
+                cls_k, grid_k = k
+                cls_v, grid_v = v
+                k_full = (
+                    grid_k
+                    if cls_k is None
+                    else jnp.concatenate([cls_k, grid_k], axis=1)
+                )
+                v_full = (
+                    grid_v
+                    if cls_v is None
+                    else jnp.concatenate([cls_v, grid_v], axis=1)
+                )
+
+                attn_fn = (
+                    pooled_attention_packed_xla
+                    # Init often runs host-side under
+                    # jax.default_device(cpu), where pallas can't lower.
+                    if self.is_initializing()
+                    else pooled_attention_packed
+                )
+                grid_out = attn_fn(
+                    grid_q,
                     k_full,
                     v_full,
                     self.num_heads,
                     head_dim**-0.5,
                     self.residual_pool,
                 )
-            )
+                cls_out = (
+                    None
+                    if cls_q is None
+                    # Single-row query: the XLA einsum path is free (and the
+                    # Pallas dispatch floor routes it there anyway).
+                    else pooled_attention_packed_xla(
+                        cls_q,
+                        k_full,
+                        v_full,
+                        self.num_heads,
+                        head_dim**-0.5,
+                        self.residual_pool,
+                    )
+                )
 
             proj = nn.Dense(self.dim_out, use_bias=self.bias_on, name="proj")
             drop = (
