@@ -36,6 +36,22 @@ backward recomputes pooled k/v through the XLA grouped conv + LN (exactly
 the unfused path — same math, reference pytorchvideo/layers/attention.py
 :341-465) and reuses its VJP plus the packed attention backward kernel, so
 training gradients are identical to the unfused path's.
+
+HW verdict (v5e, 2026-08-19, whole-model mvit_base_16x4 B16 bf16 deploy,
+interleaved 3x medians, same session): plain 367.9 clips/s vs fused 354.6
+(0.964x) — a NET LOSS, so ``PVT_FUSED_KVPOOL`` stays DEFAULT OFF like the
+other two pool substitutions (ops/token_pool.py). Per-geometry parity on
+real HW passed at both fused block shapes (max|diff| ~0.016-0.03 on
+activations of scale ~4-6, bf16 rounding). Two v5e Mosaic lowering facts
+learned, encoded in the kernel (probe: aligned vs unaligned constructs):
+  1. vector shape casts collapsing a non-sublane-aligned second-minor dim
+     ((7,7,96)->(49,96), (8,49,96)->(392,96)) are REJECTED; the same
+     collapse with the W axis padded to a multiple of 8 (f32) lowers.
+     Hence the w_pad scheme + masked attention columns below.
+  2. exceeding VMEM with plane-sized block refs does not fail cleanly on
+     the axon tunnel — the MViT-B transition-block geometry (56x56x192
+     planes, ~20 MB live estimate) compiled, then HUNG at runtime. Hence
+     ``fusable``'s aggregate VMEM budget gate.
 """
 
 from __future__ import annotations
@@ -58,8 +74,12 @@ except Exception:  # pragma: no cover
 Size3 = Tuple[int, int, int]
 
 _TILE_Q = 512
-# six double-buffered plane refs + scratch must fit ~16 MB VMEM
-_MAX_PLANE_BYTES = 1_300_000
+# Aggregate VMEM budget for the kernel's live buffers. v5e VMEM is ~16 MB;
+# leave headroom for Mosaic's own allocations. Exceeding it does NOT fail
+# cleanly on the axon tunnel: the MViT-B transition-block geometry
+# (thw (8,56,56), HC=192, stride (1,4,4); ~20 MB est.) compiled but HUNG
+# at runtime (2026-08-19 HW bisect), so the gate must be conservative.
+_VMEM_BUDGET = 12_000_000
 
 
 def pool_out(d, k, s, p):
@@ -81,11 +101,19 @@ def fusable(
     if (kt, kh, kw) != (3, 3, 3) or st != 1 or sh < 4 or sw < 4:
         return False
     t, h, w = thw
-    if h % sh or w % sw:
-        # ragged pooled grids are legal but keep the unfused path simple
-        return pool_out(h, kh, sh, kh // 2) > 0  # still allow; sizes static
+    t2 = pool_out(t, kt, st, kt // 2)
+    h2 = pool_out(h, kh, sh, kh // 2)
+    w2 = pool_out(w, kw, sw, kw // 2)
+    if min(t2, h2, w2) <= 0:
+        return False
+    w2p = -(-w2 // 8) * 8
+    # Live-buffer estimate: 6 plane refs (3 k taps + 3 v taps), double-
+    # buffered by the pipeline, + the two f32 pooled-row scratches + q/out
+    # tiles. Must stay under the budget (see _VMEM_BUDGET note).
     plane = h * w * hc * itemsize
-    return plane <= _MAX_PLANE_BYTES
+    scratch = 2 * t2 * h2 * w2p * hc * 4
+    tiles = 4 * _TILE_Q * hc * itemsize + 4 * h2 * w2p * hc * itemsize
+    return 12 * plane + scratch + tiles <= _VMEM_BUDGET
 
 
 def _tap_slice(plane, dh, dw, sh, sw, h_out, w_out):
@@ -104,11 +132,16 @@ def _tap_slice(plane, dh, dw, sh, sw, h_out, w_out):
 
 def _pool_ln_plane(
     tap_refs, w_ref, ln_ref, seg, segT, *, t_out, t_in, kernel, stride,
-    h_out, w_out, head_dim, eps, out_dtype,
+    h_out, w_out, w_pad, head_dim, eps, out_dtype,
 ):
     """Pool one output t-plane from 3 tap planes, then per-head-segment LN.
 
-    Returns (h_out*w_out, HC)."""
+    Returns (h_out*w_pad, HC): the W axis is zero-padded to ``w_pad`` (a
+    sublane multiple) BEFORE the 3D->2D collapse — v5e Mosaic rejects the
+    unaligned collapse (measured: (7,7,96)->(49,96) is an "unsupported
+    shape cast"; (7,8,96)->(56,96) f32 lowers). Pad rows carry finite
+    garbage (LN of zeros = bias) and are masked out of the attention
+    scores by the caller."""
     kt, kh, kw = kernel
     st, sh, sw = stride
     ph, pw = kh // 2, kw // 2
@@ -128,7 +161,9 @@ def _pool_ln_plane(
                 w_row = w_ref[dt * kh * kw + dh * kw + dw].astype(jnp.float32)
                 w_row = jnp.where(valid, w_row, 0.0)
                 acc = acc + tap * w_row
-    x = acc.reshape(h_out * w_out, hc)
+    if w_pad != w_out:
+        acc = jnp.pad(acc, ((0, 0), (0, w_pad - w_out), (0, 0)))
+    x = acc.reshape(h_out * w_pad, hc)
     # per-head-segment LayerNorm via 0/1 segment matmuls (no minor reshape)
     heads = hc // head_dim
     inv_c = 1.0 / head_dim
@@ -175,7 +210,7 @@ def _fused_kernel(
     # dynamic sublane stores), plus the cls row pair
     k_scr, v_scr, cls_scr,
     *,
-    t2, n_tiles, t_in, kernel, stride, h_out, w_out,
+    t2, n_tiles, t_in, kernel, stride, h_out, w_out, w_pad,
     heads, head_dim, scale, residual, has_cls, eps,
 ):
     j = pl.program_id(1)
@@ -203,21 +238,29 @@ def _fused_kernel(
             rows = _pool_ln_plane(
                 taps, w_ref, ln_ref, seg, segT,
                 t_out=j, t_in=t_in, kernel=kernel, stride=stride,
-                h_out=h_out, w_out=w_out, head_dim=head_dim, eps=eps,
-                out_dtype=scr.dtype,
+                h_out=h_out, w_out=w_out, w_pad=w_pad, head_dim=head_dim,
+                eps=eps, out_dtype=scr.dtype,
             )
             scr[j] = rows
-            oref[0, 0] = rows
+            oref[0, 0] = rows.astype(oref.dtype)
 
     @pl.when(j >= t2)
     def _attn_phase():
         hc = heads * head_dim
         q = q_ref[0]  # (tile_q, HC)
-        k = k_scr[...].reshape(t2 * h_out * w_out, hc)
-        v = v_scr[...].reshape(t2 * h_out * w_out, hc)
+        # Aligned collapse: the scratch's second-minor is w_pad-aligned so
+        # Mosaic accepts the shape cast (see _pool_ln_plane docstring).
+        k = k_scr[...].reshape(t2 * h_out * w_pad, hc).astype(q.dtype)
+        v = v_scr[...].reshape(t2 * h_out * w_pad, hc).astype(q.dtype)
         if has_cls:
             k = jnp.concatenate([cls_scr[0:1], k], axis=0)
             v = jnp.concatenate([cls_scr[1:2], v], axis=0)
+        off = 1 if has_cls else 0
+        lk = k.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, lk), 1)
+        key_valid = jnp.logical_or(
+            col < off, ((col - off) % w_pad) < w_out
+        )  # pad W columns are finite garbage: mask them out of the softmax
         outs = []
         for h in range(heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -227,6 +270,7 @@ def _fused_kernel(
                 preferred_element_type=jnp.float32,
             )
             scores = scores * scale
+            scores = jnp.where(key_valid, scores, -1e30)
             scores = scores - jnp.max(scores, axis=-1, keepdims=True)
             probs = jnp.exp(scores)
             probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
@@ -253,6 +297,9 @@ def _fused_local(
     T2 = pool_out(T, kt, st, kt // 2)
     H2 = pool_out(H, kh, sh, kh // 2)
     W2 = pool_out(W, kw, sw, kw // 2)
+    # W padded to the f32 sublane tile so every 3D->2D collapse inside the
+    # kernel is layout-aligned (v5e Mosaic rejects unaligned shape casts).
+    W2p = -(-W2 // 8) * 8
     has_cls = cls_k is not None
     head_dim = HC // num_heads
     tile_q = min(tile_q, Lq)
@@ -288,11 +335,11 @@ def _fused_local(
     kernel_fn = functools.partial(
         _fused_kernel,
         t2=T2, n_tiles=n_tiles, t_in=T, kernel=kernel, stride=stride,
-        h_out=H2, w_out=W2, heads=num_heads, head_dim=head_dim,
+        h_out=H2, w_out=W2, w_pad=W2p, heads=num_heads, head_dim=head_dim,
         scale=scale, residual=residual, has_cls=has_cls, eps=eps,
     )
     pooled_spec = pl.BlockSpec(
-        (1, 1, H2 * W2, HC),
+        (1, 1, H2 * W2p, HC),
         lambda b, j: (b, jnp.minimum(j, T2 - 1), 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -300,8 +347,8 @@ def _fused_local(
         kernel_fn,
         out_shape=[
             jax.ShapeDtypeStruct(qf.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, T2, H2 * W2, HC), q.dtype),
-            jax.ShapeDtypeStruct((B, T2, H2 * W2, HC), q.dtype),
+            jax.ShapeDtypeStruct((B, T2, H2 * W2p, HC), q.dtype),
+            jax.ShapeDtypeStruct((B, T2, H2 * W2p, HC), q.dtype),
         ],
         grid=grid,
         in_specs=[
@@ -314,8 +361,11 @@ def _fused_local(
         ],
         out_specs=[q_spec, pooled_spec, pooled_spec],
         scratch_shapes=[
-            pltpu.VMEM((T2, H2 * W2, HC), q.dtype),
-            pltpu.VMEM((T2, H2 * W2, HC), q.dtype),
+            # f32 scratch: the sublane tile is 8, matching the W2p pad
+            # (bf16's 16-row tile would mis-align the (T2, H2*W2p) collapse
+            # when W2p is an odd multiple of 8)
+            pltpu.VMEM((T2, H2 * W2p, HC), jnp.float32),
+            pltpu.VMEM((T2, H2 * W2p, HC), jnp.float32),
             pltpu.VMEM((2, HC), q.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -326,8 +376,13 @@ def _fused_local(
         qf, k5, k5, k5, v5, v5, v5, wk, wv, lnk, lnv,
         cls_k if has_cls else zero, cls_v if has_cls else zero,
     )
-    R = H2 * W2
-    return out[:, :Lq], kp.reshape(B, T2 * R, HC), vp.reshape(B, T2 * R, HC)
+    def unpad(p):
+        # (B, T2, H2*W2p, HC) -> drop the pad W columns -> (B, T2*H2*W2, HC).
+        # Tiny tensor (the pooled grid); plain XLA slice+reshape.
+        p = p.reshape(B, T2, H2, W2p, HC)[:, :, :, :W2, :]
+        return p.reshape(B, T2 * H2 * W2, HC)
+
+    return out[:, :Lq], unpad(kp), unpad(vp)
 
 
 def _pad_to(x, axis, mult):
