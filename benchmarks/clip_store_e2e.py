@@ -113,7 +113,9 @@ def main():
     from pytorchvideo_tpu.utils.profiling import time_stateful
 
     with tempfile.TemporaryDirectory() as td:
-        store_dir = build_store(td)
+        # ~2 clips/video with the 1s uniform sampler: size the store to a
+        # few full batches (ClipStore.batches raises on < batch_size)
+        store_dir = build_store(td, n_videos=max(8, BATCH))
         store = ClipStore(store_dir)
 
         device = jax.devices()[0]

@@ -176,6 +176,13 @@ class ClipStore:
         """Yield batch dicts; ``epochs=None`` streams forever (reshuffling
         each epoch from the seed + epoch counter)."""
         epoch = 0
+        if drop_last and self.num_clips < batch_size:
+            # would yield zero batches per epoch; with epochs=None the loop
+            # would spin forever producing nothing
+            raise ValueError(
+                f"store holds {self.num_clips} clips < batch_size="
+                f"{batch_size} with drop_last=True; no full batch exists"
+            )
         while epochs is None or epoch < epochs:
             order = np.arange(self.num_clips)
             if shuffle:

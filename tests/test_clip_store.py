@@ -107,6 +107,14 @@ def test_batches_shuffle_and_epochs(small_store):
     n = sum(b["video"].shape[0] for b in store.batches(4, drop_last=False))
     assert n == 6
 
+    # batch_size > store with drop_last would yield zero batches per epoch
+    # (an infinite empty stream under epochs=None): must raise up front
+    with pytest.raises(ValueError, match="no full batch"):
+        next(store.batches(64, epochs=None))
+    # ...but drop_last=False still serves the short batch
+    short = next(store.batches(64, drop_last=False))
+    assert short["video"].shape[0] == 6
+
 
 def test_shape_mismatch_rejected(tmp_path):
     class Bad:
