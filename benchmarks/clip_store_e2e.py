@@ -143,6 +143,11 @@ def main():
             model, tx, batch_transform=batch_transform,
             compute_dtype=jnp.bfloat16,
         )
+        # the step must be jitted for the streaming phase: eagerly
+        # dispatching its op graph per-batch through the TPU tunnel both
+        # crawls and exhausts the backend's program cache (measured:
+        # RESOURCE_EXHAUSTED after ~2 eager steps on the axon tunnel)
+        jstep = jax.jit(step)
         key = jax.random.PRNGKey(1)
 
         # --- device-only rate (fixed resident batch) ---
@@ -197,21 +202,34 @@ def main():
             for i, batch in enumerate(stream):
                 if i >= n_steps:
                     break
-                st, metrics = step(
+                st, metrics = jstep(
                     st, {"video": batch["video"], "label": batch["label"]},
                     key,
                 )
             float(metrics["loss"])  # force the whole dependent chain
             return time.perf_counter() - t0
 
-        run(2)  # compile + warm
-        small, big = min(run(4), run(4)), min(run(STEPS), run(STEPS))
-        e2e_rate = (STEPS - 4) * BATCH / (big - small)
-        print(json.dumps({
-            "phase": "e2e_store_train",
-            "clips_per_sec": round(e2e_rate, 1),
-            "ratio_vs_device_only": round(e2e_rate / device_rate, 3),
-        }), flush=True)
+        # What the components allow: the prefetch thread overlaps gather
+        # and device_put with compute, so the stream's ceiling is the
+        # slowest single stage.
+        bound = min(gather_rate, BATCH / put_sec, device_rate)
+        try:
+            run(2)  # compile + warm
+            small, big = min(run(4), run(4)), min(run(STEPS), run(STEPS))
+            e2e_rate = (STEPS - 4) * BATCH / (big - small)
+            print(json.dumps({
+                "phase": "e2e_store_train",
+                "clips_per_sec": round(e2e_rate, 1),
+                "ratio_vs_device_only": round(e2e_rate / device_rate, 3),
+                "component_bound_clips_per_sec": round(bound, 1),
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "phase": "e2e_store_train",
+                "error": f"{type(e).__name__}: {e}"[:300],
+                "component_bound_clips_per_sec": round(bound, 1),
+                "ratio_bound_vs_device_only": round(bound / device_rate, 3),
+            }), flush=True)
 
 
 if __name__ == "__main__":
