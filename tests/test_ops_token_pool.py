@@ -252,6 +252,50 @@ def test_pallas_bwd_matches_xla_grads(shape, kernel, stride):
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=5e-3)
 
 
+def test_tiny_mvit_grads_interpret_matches_xla_pool(monkeypatch):
+    """Fast-tier training-path wiring check (ADVICE r2): a depth-1,
+    8x8-spatial MViT keeps gradients flowing through the Pallas pool's
+    custom backward without the slow test's 60 s cost. The full-size
+    sibling below stays in the slow tier."""
+    from pytorchvideo_tpu import models
+
+    model = models.create_multiscale_vision_transformers(
+        spatial_size=8,
+        temporal_size=2,
+        depth=1,
+        num_heads=1,
+        patch_embed_dim=16,
+        pool_q_stride_size=[[0, 1, 2, 2]],
+        pool_kv_stride_adaptive=[1, 2, 2],
+        pool_kvq_kernel=[3, 3, 3],
+        head_num_classes=3,
+    )
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, 2, 8, 8, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+
+    def loss(params):
+        out = model.apply({**variables, "params": params}, x, False)
+        return jnp.sum(jnp.sin(out))
+
+    monkeypatch.setenv("PVT_TOKEN_POOL", "xla")
+    g_ref = jax.grad(loss)(variables["params"])
+    monkeypatch.setenv("PVT_TOKEN_POOL", "interpret")
+    g_out = jax.grad(loss)(variables["params"])
+    for (p, ref), (_, out) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_out),
+    ):
+        scale = float(np.max(np.abs(np.asarray(ref))))
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.asarray(ref),
+            rtol=0,
+            atol=max(1e-6, 1e-4 * scale),
+            err_msg=jax.tree_util.keystr(p),
+        )
+
+
 @pytest.mark.slow  # ~60 s: full-model grads twice in interpret mode; the
 # forward sibling above stays in the fast tier
 def test_full_mvit_grads_interpret_matches_xla_pool(monkeypatch):
