@@ -47,11 +47,65 @@ def create_x3d_stem(
     norm_eps: float = 1e-5,
     norm_momentum: float = 0.1,
     activation: Optional[Callable] = nn.relu,
+    batch_pack: int = 0,
+    batch_pack_entry: str = "input",
 ) -> ResNetBasicStem:
     """X3D stem: spatial conv then depthwise temporal conv
     (reference x3d.py:19-102; note the reference stores the spatial conv in
     Conv2plus1d's ``conv_t`` slot and the temporal in ``conv_xy`` — we keep
-    that field layout for checkpoint-name parity)."""
+    that field layout for checkpoint-name parity).
+
+    ``batch_pack=b`` enters the batch-packed layout (layers/batchpack.py):
+    with ``batch_pack_entry="input"`` the spatial conv packs its input and
+    runs grouped; with ``"late"`` the spatial conv stays unpacked
+    (WBlockedConv) and the temporal depthwise conv packs — the pack
+    relayout then moves the larger post-conv tensor (A/B'd on hardware in
+    benchmarks/x3d_breakdown.py ab)."""
+    if batch_pack > 1:
+        from pytorchvideo_tpu.layers.batchpack import BatchPackedConv3d
+        from pytorchvideo_tpu.layers.packed import packed_norm
+
+        if batch_pack_entry == "input":
+            conv_xy = BatchPackedConv3d(
+                features=out_channels,
+                kernel_size=(1, conv_kernel_size[1], conv_kernel_size[2]),
+                in_channels=in_channels,
+                batch=batch_pack,
+                strides=(1, conv_stride[1], conv_stride[2]),
+                padding=(0, conv_padding[1], conv_padding[2]),
+                use_bias=False,
+                pack_input=True,
+            )
+        else:
+            conv_xy = WBlockedConv(
+                features=out_channels,
+                kernel_size=(1, conv_kernel_size[1], conv_kernel_size[2]),
+                strides=(1, conv_stride[1], conv_stride[2]),
+                padding=pad_pairs((0, conv_padding[1], conv_padding[2])),
+                use_bias=False,
+            )
+        conv_t = BatchPackedConv3d(
+            features=out_channels,
+            kernel_size=(conv_kernel_size[0], 1, 1),
+            in_channels=out_channels,
+            batch=batch_pack,
+            strides=(conv_stride[0], 1, 1),
+            padding=(conv_padding[0], 0, 0),
+            use_bias=False,
+            groups=out_channels,
+            pack_input=(batch_pack_entry == "late"),
+        )
+        stacked = Conv2plus1d(
+            conv_t=conv_xy, norm=None, activation=None, conv_xy=conv_t
+        )
+        return ResNetBasicStem(
+            conv=stacked,
+            norm=make_norm(
+                packed_norm(norm), out_channels, norm_eps, norm_momentum
+            ),
+            activation=make_act(activation),
+            pool=None,
+        )
     if in_channels * conv_stride[2] <= 32 and conv_stride[2] > 1:
         # Tiny-C_in strided spatial conv: stride-block W (exact rewrite,
         # identical param tree) — see models/stem.py create_res_basic_stem.
@@ -117,18 +171,53 @@ def create_x3d_bottleneck_block(
     se_ratio: float = 0.0625,
     activation: Optional[Callable] = nn.relu,
     inner_act: Optional[Callable] = swish,
+    batch_pack: int = 0,
 ) -> BottleneckBlock:
     """1x1x1 -> depthwise 3x3x3 (+SE) + Swish -> 1x1x1
-    (reference x3d.py:105-228)."""
-    se = (
-        SqueezeExcitation(
-            num_channels_reduced=round_width(dim_inner, se_ratio)
+    (reference x3d.py:105-228). ``batch_pack=b`` builds the exact
+    batch-packed variant of every op (layers/batchpack.py) — identical
+    parameter tree, adapts to unpacked inputs at call time."""
+    if batch_pack > 1:
+        from pytorchvideo_tpu.layers.batchpack import (
+            BatchPackedConv3d,
+            BatchPackedSE,
         )
-        if se_ratio > 0.0
-        else None
-    )
+        from pytorchvideo_tpu.layers.packed import packed_norm
+
+        def conv_f(*, in_channels, out_channels, kernel_size, stride=(1, 1, 1),
+                   padding=(0, 0, 0), bias=True, groups=1):
+            return BatchPackedConv3d(
+                features=out_channels,
+                kernel_size=kernel_size,
+                in_channels=in_channels,
+                batch=batch_pack,
+                strides=stride,
+                padding=padding,
+                groups=groups,
+                use_bias=bias,
+            )
+
+        norm = packed_norm(norm)
+        se = (
+            BatchPackedSE(
+                num_channels_reduced=round_width(dim_inner, se_ratio),
+                channels=dim_inner,
+                batch=batch_pack,
+            )
+            if se_ratio > 0.0
+            else None
+        )
+    else:
+        conv_f = Conv3d
+        se = (
+            SqueezeExcitation(
+                num_channels_reduced=round_width(dim_inner, se_ratio)
+            )
+            if se_ratio > 0.0
+            else None
+        )
     return BottleneckBlock(
-        conv_a=Conv3d(
+        conv_a=conv_f(
             in_channels=dim_in,
             out_channels=dim_inner,
             kernel_size=(1, 1, 1),
@@ -136,7 +225,7 @@ def create_x3d_bottleneck_block(
         ),
         norm_a=make_norm(norm, dim_inner, norm_eps, norm_momentum),
         act_a=make_act(activation),
-        conv_b=Conv3d(
+        conv_b=conv_f(
             in_channels=dim_inner,
             out_channels=dim_inner,
             kernel_size=conv_kernel_size,
@@ -149,7 +238,7 @@ def create_x3d_bottleneck_block(
             norm=make_norm(norm, dim_inner, norm_eps, norm_momentum), se=se
         ),
         act_b=make_act(inner_act),
-        conv_c=Conv3d(
+        conv_c=conv_f(
             in_channels=dim_inner,
             out_channels=dim_out,
             kernel_size=(1, 1, 1),
@@ -174,12 +263,35 @@ def create_x3d_res_block(
     se_ratio: float = 0.0625,
     activation: Optional[Callable] = nn.relu,
     inner_act: Optional[Callable] = swish,
+    batch_pack: int = 0,
 ) -> ResBlock:
-    """Reference x3d.py:230-325."""
+    """Reference x3d.py:230-325. ``batch_pack`` propagates the batch-packed
+    layout to the shortcut conv and the bottleneck (which must accept the
+    kwarg when enabled)."""
+    if batch_pack > 1:
+        from pytorchvideo_tpu.layers.batchpack import BatchPackedConv3d
+        from pytorchvideo_tpu.layers.packed import packed_norm
+
+        def skip_f(**kw):
+            kw.pop("bias", None)
+            return BatchPackedConv3d(
+                features=kw["out_channels"],
+                kernel_size=kw["kernel_size"],
+                in_channels=kw["in_channels"],
+                batch=batch_pack,
+                strides=kw.get("stride", (1, 1, 1)),
+                use_bias=False,
+            )
+
+        skip_norm = packed_norm(norm)
+    else:
+        skip_f = Conv3d
+        skip_norm = norm
+    extra = {"batch_pack": batch_pack} if batch_pack > 1 else {}
     needs_proj = dim_in != dim_out or int(np.prod(conv_stride)) > 1
     return ResBlock(
         branch1_conv=(
-            Conv3d(
+            skip_f(
                 in_channels=dim_in,
                 out_channels=dim_out,
                 kernel_size=(1, 1, 1),
@@ -190,7 +302,7 @@ def create_x3d_res_block(
             else None
         ),
         branch1_norm=(
-            make_norm(norm, dim_out, norm_eps, norm_momentum)
+            make_norm(skip_norm, dim_out, norm_eps, norm_momentum)
             if (norm is not None and dim_in != dim_out and use_shortcut)
             else None
         ),
@@ -206,6 +318,7 @@ def create_x3d_res_block(
             se_ratio=se_ratio,
             activation=activation,
             inner_act=inner_act,
+            **extra,
         ),
         activation=make_act(activation),
     )
@@ -226,8 +339,12 @@ def create_x3d_res_stage(
     se_ratio: float = 0.0625,
     activation: Optional[Callable] = nn.relu,
     inner_act: Optional[Callable] = swish,
+    batch_pack: int = 0,
+    batch_unpack_output: bool = False,
 ) -> ResStage:
-    """SE on every other block ((idx+1) % 2), reference x3d.py:397-402."""
+    """SE on every other block ((idx+1) % 2), reference x3d.py:397-402.
+    ``batch_unpack_output`` marks the packed segment's exit: the stage
+    unpacks the batch minor after its last block (layers/batchpack.py)."""
     blocks = []
     for idx in range(depth):
         blocks.append(
@@ -244,7 +361,14 @@ def create_x3d_res_stage(
                 se_ratio=(se_ratio if (idx + 1) % 2 else 0.0),
                 activation=activation,
                 inner_act=inner_act,
+                batch_pack=batch_pack,
             )
+        )
+    if batch_pack > 1 and batch_unpack_output:
+        from pytorchvideo_tpu.layers.batchpack import UnpackResStage
+
+        return UnpackResStage(
+            res_blocks=tuple(blocks), batch=batch_pack, channels=dim_out
         )
     return ResStage(res_blocks=blocks)
 
@@ -414,10 +538,28 @@ def create_x3d(
     head_bn_lin5_on: bool = False,
     head_activation: Optional[Callable] = None,
     head_output_with_global_average: bool = True,
+    batch_pack: Optional[int] = None,
 ) -> Net:
     """Builder (reference x3d.py:539-738). Variants:
-    XS=4x160, S=13x160, M=16x224, L=16x312+depth_factor 5.0."""
+    XS=4x160, S=13x160, M=16x224, L=16x312+depth_factor 5.0.
+
+    ``batch_pack=b`` runs the stem + stages 1-2 in the exact batch-packed
+    layout (layers/batchpack.py): the tiny-channel segment (C<=108, where
+    the 128-lane tile is under-filled) folds b batch elements into the
+    lanes, cutting depthwise-conv VPU work and elementwise HBM traffic by
+    the lane-fill factor; stage 2 unpacks on exit (C>=216 is already
+    lane-full). Identical parameter tree; falls back to the plain path at
+    trace time when the runtime batch does not divide by b. ``None`` reads
+    the PVT_X3D_BPACK env var (0 disables); requires the default
+    BatchNorm-family ``norm`` and a ``bottleneck`` accepting
+    ``batch_pack`` when enabled."""
+    import os
+
     from pytorchvideo_tpu.layers.common import adaptive_avg_pool3d_to_1, avg_pool3d
+
+    if batch_pack is None:
+        batch_pack = int(os.environ.get("PVT_X3D_BPACK", "0"))
+    bpack_entry = os.environ.get("PVT_X3D_BPACK_ENTRY", "input")
 
     blocks = []
     stem_dim_out = round_width(stem_dim_in, width_factor)
@@ -432,6 +574,8 @@ def create_x3d(
             norm_eps=norm_eps,
             norm_momentum=norm_momentum,
             activation=activation,
+            batch_pack=batch_pack,
+            batch_pack_entry=bpack_entry,
         )
     )
 
@@ -444,9 +588,11 @@ def create_x3d(
     stage_dims = [stage_dim1, stage_dim2, stage_dim3, stage_dim4]
 
     dim_in = stem_dim_out
+    n_packed_stages = 2  # stem..stage2: the under-128-lane channel segment
     for idx in range(len(stage_depths)):
         dim_out = round_width(stage_dims[idx], width_factor)
         dim_inner = int(bottleneck_factor * dim_out)
+        stage_pack = batch_pack if idx < n_packed_stages else 0
         blocks.append(
             create_x3d_res_stage(
                 depth=round_repeats(stage_depths[idx], depth_factor),
@@ -466,6 +612,8 @@ def create_x3d(
                 se_ratio=se_ratio,
                 activation=activation,
                 inner_act=inner_act,
+                batch_pack=stage_pack,
+                batch_unpack_output=(idx == n_packed_stages - 1),
             )
         )
         dim_in = dim_out
