@@ -192,6 +192,70 @@ def knockout():
                   lambda a, v=v, s=stage: s.apply(v, a, False), x, iters=10)
 
 
+def ab():
+    """Whole-model X3D-S A/B: plain vs batch-packed (layers/batchpack.py)
+    variants, ONE session, shared folded params (trees are identical), a
+    bf16 output-parity check, then interleaved timing rounds. Per-op wins
+    don't decide (relayout bracketing); this does.
+
+    Run: python benchmarks/x3d_breakdown.py ab
+    """
+    from pytorchvideo_tpu.models import create_x3d
+    from pytorchvideo_tpu.utils.profiling import time_jitted
+
+    device = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+
+    variants = [
+        ("plain", 0, "input"),
+        ("bpack2", 2, "input"),
+        ("bpack2_late", 2, "late"),
+        ("bpack4", 4, "input"),
+    ]
+    models = {}
+    for name, bp, entry in variants:
+        os.environ["PVT_X3D_BPACK_ENTRY"] = entry
+        models[name] = create_x3d(
+            input_clip_length=13, input_crop_size=160,
+            model_num_class=400, batch_pack=bp,
+        )
+    os.environ.pop("PVT_X3D_BPACK_ENTRY", None)
+
+    in_shape = (13, 160, 160, 3)
+    v = jax.device_put(_fold_bf16(models["plain"], in_shape, cpu), device)
+    x = _rand((B,) + in_shape, device, seed=7)
+
+    # parity gate at the bench batch (bf16 reassociation tolerance)
+    ref = np.asarray(
+        jax.jit(lambda a: models["plain"].apply(v, a, False))(x[:8]),
+        np.float32,
+    )
+    for name in models:
+        if name == "plain":
+            continue
+        out = np.asarray(
+            jax.jit(lambda a, m=models[name]: m.apply(v, a, False))(x[:8]),
+            np.float32,
+        )
+        err = float(np.max(np.abs(out - ref)))
+        print(json.dumps({"parity": name, "max_abs_err": round(err, 5)}),
+              flush=True)
+
+    rounds = {name: [] for name in models}
+    for _ in range(3):
+        for name, m in models.items():
+            sec = time_jitted(
+                lambda a, m=m: m.apply(v, a, False), x, iters=10
+            )
+            rounds[name].append(B / sec)
+    for name, cps in rounds.items():
+        print(json.dumps({
+            "model": f"x3d_s_{name}", "batch": B,
+            "clips_per_sec_per_chip": round(float(np.median(cps)), 1),
+            "rounds": [round(c, 1) for c in cps],
+        }), flush=True)
+
+
 def main():
     from pytorchvideo_tpu.layers.packed import PackedConv3d, pack_hw
     from pytorchvideo_tpu.layers.squeeze_excitation import SqueezeExcitation
@@ -306,5 +370,7 @@ if __name__ == "__main__":
         stages()
     elif len(sys.argv) > 1 and sys.argv[1] == "knockout":
         knockout()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ab":
+        ab()
     else:
         main()

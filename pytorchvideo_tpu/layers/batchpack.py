@@ -45,6 +45,25 @@ not divide by ``b`` (modules detect packing from the minor dim, so a
 declined pack at the stem degrades the whole net to the unpacked path
 consistently). Parity-tested in tests/test_layers_batchpack.py.
 
+MEASURED VERDICT (v5e, 2026-08-19, benchmarks/x3d_breakdown.py ab — whole
+X3D-S B128 bf16 deploy, one session, hardware parity max_abs_err 1e-3):
+
+    plain 3662.5 clips/s | bpack2 1236.4 | bpack2_late 1198.4 | bpack4 1142.9
+
+a 3x NET LOSS, so batch-packing stays OFF by default (PVT_X3D_BPACK=0).
+Per-op attribution (same session): the depthwise conv DOES win as predicted
+(s1 3x3x3 C=54: 3.95 -> 2.62 ms at b=2), but the pointwise conv loses every
+way it can be expressed in the packed minor — the "free" (..., b*C) ->
+(..., b, C) minor reshape is NOT free on TPU (it re-tiles lanes around the
+dot_general: 0.649 -> 1.254/1.964 ms at b=2/4), and keeping the b*C minor
+with a feature_group_count=b grouped conv is worse still (XLA lowers
+small-group convs poorly on v5e: s1 0.424 -> 1.245/2.402 ms, s2 0.119 ->
+0.535/0.642 ms). X3D is pointwise-dominated (knockouts: ~60% of stage-1
+wall is the 1x1x1 convs + elementwise, only 2.9 of 11.5 ms is depthwise),
+so the packed pointwise penalty swamps the depthwise win. The module stays
+as an exact, tested, opt-in layout for genuinely depthwise-dominated
+workloads and as the recorded negative result.
+
 Reference semantics covered: Conv3d/BN/SE inside create_x3d_bottleneck_block
 and create_x3d_stem (reference models/x3d.py:19-228).
 """

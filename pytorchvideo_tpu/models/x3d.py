@@ -552,7 +552,12 @@ def create_x3d(
     trace time when the runtime batch does not divide by b. ``None`` reads
     the PVT_X3D_BPACK env var (0 disables); requires the default
     BatchNorm-family ``norm`` and a ``bottleneck`` accepting
-    ``batch_pack`` when enabled."""
+    ``batch_pack`` when enabled.
+
+    Measured on v5e: a 3x whole-model NET LOSS (3662 plain vs 1236 bpack2
+    clips/s, B128 bf16) — the packed pointwise convs lose more than the
+    depthwise wins; see layers/batchpack.py for the full A/B + per-op
+    attribution. OFF by default; kept as an exact opt-in layout."""
     import os
 
     from pytorchvideo_tpu.layers.common import adaptive_avg_pool3d_to_1, avg_pool3d
