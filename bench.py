@@ -18,11 +18,27 @@ Methodology notes (load-bearing in this environment):
   measurement on this tunnel-attached chip is not decision-grade.
 - CALIBRATION: the session's chip health is recorded as two probes —
   bf16 square-GEMM TFLOP/s (MXU) and a 512 MB streaming-copy GB/s (HBM) —
-  because the tunnel has been observed to bind different chip hardware
-  across sessions (round-3 finding: one session probed 183 TF/s / ~819
-  GB/s = v5e spec, another 222 TF/s / 1738 GB/s; raw clips/s move by
-  10-20% between them with identical code). Judge cross-session deltas
-  against these probes before attributing them to code.
+  because the tunnel has been observed to bind different chip hardware /
+  HBM states across sessions (round-3 finding: sessions probed 453-819
+  GB/s delivered HBM with identical code; HBM-bound metrics move with
+  it). Judge cross-session deltas against these probes before
+  attributing them to code.
+- PROBE VALIDITY (round-4 rebuild): round-3's probes were algebraically
+  elidable (the GEMM consumed only ``mean(a@b)``, which XLA's simplifier
+  strength-reduces to zero dot ops; the stream probe's carried array was
+  transitively dead past element 0) and recorded physically impossible
+  readings (429 TF/s on a 197 TF/s chip). The rebuilt probes (a) carry
+  the full product/array as the next iteration's operand, (b) consume a
+  nonlinear (abs) readout that has no simplifier rewrite, and (c) are
+  sanity-gated against a per-device_kind spec table: a reading above the
+  chip's physical peak reports ``probe_invalid`` — never a number.
+- ENV RECORD: the JSON line carries device_kind, jax/jaxlib/libtpu
+  versions, and a timestamp so every reading is adjudicable against chip
+  identity.
+- HOST HEALTH: a pinned single-thread decode micro runs next to the
+  (parallel) pipeline FPS metric, so host-contention artifacts (round-3:
+  pipeline_fps read 183.8 under driver load vs 588 idle, same code) are
+  visible in the record.
 - bf16 weights/activations (MXU path); deploy-form weights (accelerate
   fold_conv_bn folds the BN affine into conv kernels — the framework's
   production inference path).
@@ -266,10 +282,71 @@ def setup_x3d_s_train(device, cpu):
     return _make_sampler(loop, (state, video, label), B)
 
 
+# Physical per-chip peaks used to sanity-gate the calibration probes.
+# A probe reading above the chip's physical peak is an instrument or
+# chip-binding artifact and must be reported as invalid, never as a number.
+# Sources: public TPU spec sheets (bf16 dense peak TFLOP/s, HBM GB/s).
+CHIP_SPECS = {
+    "TPU v5 lite": (197.0, 819.0),  # v5e
+    "TPU v5e": (197.0, 819.0),
+    "TPU v4": (275.0, 1228.0),
+    "TPU v5p": (459.0, 2765.0),
+    "TPU v5": (459.0, 2765.0),
+    "TPU v6 lite": (918.0, 1640.0),  # Trillium / v6e
+    "TPU v6e": (918.0, 1640.0),
+}
+# Allow 5% over the published spec before declaring a reading impossible
+# (spec rounding); delivered rates above that cannot be real.
+SPEC_TOLERANCE = 1.05
+
+
+def _probe_record(raw, spec, unit, note):
+    """Spec-gated probe record. ``value`` is null when the reading exceeds
+    the chip's physical peak (VERDICT r3 item 1: impossible readings must
+    be structurally unreportable)."""
+    rec = {"unit": unit, "spec": spec, "note": note}
+    if raw is None:
+        rec.update({"value": None, "probe_invalid": True, "raw": None})
+        return rec
+    if spec is not None and raw > spec * SPEC_TOLERANCE:
+        rec.update(
+            {
+                "value": None,
+                "probe_invalid": True,
+                "raw": raw,
+                "invalid_reason": f"reading {raw} {unit} exceeds device "
+                f"physical peak {spec} {unit}",
+            }
+        )
+        return rec
+    rec["value"] = raw
+    if spec is not None:
+        rec["frac_of_spec"] = round(raw / spec, 3)
+    return rec
+
+
 def calibration_probes(device):
     """Chip-health probes: bf16 square-GEMM TFLOP/s and HBM stream GB/s.
+
+    Simplifier-proof by construction (round-4 rebuild, VERDICT r3 item 1):
+
+    - GEMM: each iteration computes ``c = a @ b`` and carries ``c`` as the
+      NEXT iteration's left operand, so the full n x n product is live; the
+      accumulated readout is ``abs(c[:8,:8]).sum()`` — nonlinear, so the
+      reduce-of-dot -> dot-of-reduce rewrite that elided the round-3 probe
+      (``mean(a@b)`` compiled to zero dot ops) does not apply. The 1/64
+      rescale keeps magnitudes ~unit across iterations (operands are
+      standard normal; n=4096 => product std 64).
+    - HBM stream: the per-iteration readout is ``abs(y).sum()`` over the
+      FULL array, so every element is live through the loop (round-3's
+      ``y[0]`` readout left the array transitively dead past element 0).
+      The reduce fuses into the elementwise map on TPU, so traffic stays
+      one read + one write of the 512 MB buffer per iteration.
+
     Reference points: the round-1/2 anchor sessions probed ~183 TF/s
-    (v5e bf16 peak 197); v5e HBM spec is 819 GB/s."""
+    (v5e bf16 peak 197); v5e HBM spec is 819 GB/s; the judge's round-3
+    session measured 213 TF/s / 453.8 GB/s with surviving probes.
+    """
     n = 4096
     rng = np.random.default_rng(0)
     a = jax.device_put(
@@ -278,36 +355,99 @@ def calibration_probes(device):
     b = jax.device_put(
         jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16), device
     )
+    gemm_sec = _make_sampler(gemm_probe_loop(n), (a, b), 1.0)
+    tflops = round(2 * n**3 * gemm_sec() / 1e12, 1)
+
+    m = 256 * 1024 * 1024 // 2  # 512 MB bf16
+    x = jax.device_put(jnp.ones((m,), jnp.bfloat16), device)
+    stream_sec = _make_sampler(stream_probe_loop(), (x,), 1.0)
+    gbps = round(2 * m * 2 * stream_sec() / 1e9, 1)
+    return tflops, gbps
+
+
+def gemm_probe_loop(n):
+    """The simplifier-proof GEMM probe loop (module-level so
+    tests/test_bench_probes.py can compile it at tiny n and assert the
+    optimized HLO still contains the dot)."""
 
     @jax.jit
     def gemm_loop(a, b, n_it):
         def body(i, carry):
             a, acc = carry
-            probe = (a @ b).mean().astype(jnp.float32)
-            return (a + (probe * 1e-24).astype(a.dtype), acc + probe)
+            c = (a @ b) * (1.0 / np.sqrt(n))
+            probe = jnp.abs(c[:8, :8]).sum().astype(jnp.float32)
+            return (c.astype(a.dtype), acc + probe)
 
         _, acc = jax.lax.fori_loop(0, n_it, body, (a, jnp.float32(0)))
         return acc
 
-    gemm_sec = _make_sampler(gemm_loop, (a, b), 1.0)
-    tflops = 2 * n**3 * gemm_sec() / 1e12  # sample() returns 1/sec_per_step
+    return gemm_loop
 
-    m = 256 * 1024 * 1024 // 2  # 512 MB bf16
-    x = jax.device_put(jnp.ones((m,), jnp.bfloat16), device)
+
+def stream_probe_loop():
+    """The simplifier-proof HBM stream probe loop (module-level for the
+    HLO-liveness test): full-array abs-sum readout keeps every element
+    live through the loop."""
 
     @jax.jit
     def stream_loop(x, n_it):
         def body(i, carry):
             x, acc = carry
             y = x * 1.0000001 + 1e-30
-            return (y, acc + y[0].astype(jnp.float32))
+            probe = (jnp.abs(y).sum() * 1e-9).astype(jnp.float32)
+            return (y, acc + probe)
 
         _, acc = jax.lax.fori_loop(0, n_it, body, (x, jnp.float32(0)))
         return acc
 
-    stream_sec = _make_sampler(stream_loop, (x,), 1.0)
-    gbps = 2 * m * 2 * stream_sec() / 1e9  # read + write per iter
-    return round(tflops, 1), round(gbps, 1)
+    return stream_loop
+
+
+def host_decode_probe():
+    """Host-health probe: decode ONE fixed synthetic 320x240/60-frame mp4
+    with cv2 pinned to a single thread, report frames/s (median of 3).
+    Pure single-core decode — no loader, no workers — so it isolates host
+    CPU availability from loader design. Round-3 finding this guards
+    against: pipeline_fps read 183.8 under driver host load vs 588.4 idle
+    with identical code; this probe makes that state visible. Dev-box
+    (1-core) idle reference: see BASELINE.json host_decode note."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    n_frames, h, w, fps = 60, 240, 320, 30
+    base = rng.integers(0, 255, (1, h, w, 3), dtype=np.uint8)
+    arr = np.clip(
+        base.astype(np.int16)
+        + rng.integers(-20, 20, (n_frames, h, w, 3), dtype=np.int16),
+        0,
+        255,
+    ).astype(np.uint8)
+    old_threads = cv2.getNumThreads()
+    cv2.setNumThreads(1)
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "probe.mp4")
+            wr = cv2.VideoWriter(
+                p, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+            )
+            for f in arr:
+                wr.write(f)
+            wr.release()
+            rates = []
+            for _ in range(3):
+                cap = cv2.VideoCapture(p)
+                t0 = time.perf_counter()
+                got = 0
+                while True:
+                    ok, _ = cap.read()
+                    if not ok:
+                        break
+                    got += 1
+                cap.release()
+                rates.append(got / (time.perf_counter() - t0))
+            return round(statistics.median(rates), 1)
+    finally:
+        cv2.setNumThreads(old_threads)
 
 
 def bench_pipeline_fps():
@@ -430,12 +570,50 @@ def _devices_with_timeout(timeout_s: float):
     return result["d"]
 
 
+def _env_record(device):
+    """Chip identity + toolchain versions so every reading in this JSON
+    line is adjudicable against the hardware that produced it (VERDICT r3
+    item 1a)."""
+    import datetime
+
+    env = {
+        "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "jax": jax.__version__,
+        "host_cpus": os.cpu_count(),
+    }
+    try:
+        import jaxlib
+
+        env["jaxlib"] = jaxlib.__version__
+    except Exception:  # pragma: no cover
+        pass
+    try:
+        import importlib.metadata as md
+
+        env["libtpu"] = md.version("libtpu")
+    except Exception:
+        env["libtpu"] = None
+    try:
+        env["device_kind"] = device.device_kind
+        env["platform"] = device.platform
+    except Exception as e:  # pragma: no cover
+        env["device_kind"] = f"unavailable: {type(e).__name__}"
+    return env
+
+
 def main():
     errors = {}
 
     # Host-only pipeline bench runs FIRST, before any TPU backend init:
     # the tunnel client's service threads compete for host CPU and were
     # measured to cut this host-side number 4x when it ran last.
+    try:
+        host_decode_fps = host_decode_probe()
+    except Exception as e:  # pragma: no cover
+        errors["host_decode_probe"] = f"{type(e).__name__}: {e}"[:400]
+        host_decode_fps = None
     try:
         pipeline = bench_pipeline_fps()
     except Exception as e:  # pragma: no cover
@@ -446,12 +624,29 @@ def main():
         float(os.environ.get("BENCH_INIT_TIMEOUT", 900))
     )[0]
     cpu = jax.devices("cpu")[0]
+    env = _env_record(device)
+    spec = CHIP_SPECS.get(env.get("device_kind"))
+    gemm_spec, hbm_spec = spec if spec else (None, None)
 
     try:
         gemm_tflops, hbm_gbps = calibration_probes(device)
     except Exception as e:  # pragma: no cover
         errors["calibration"] = f"{type(e).__name__}: {e}"[:400]
-        gemm_tflops = hbm_gbps = 0.0
+        gemm_tflops = hbm_gbps = None
+    gemm_rec = _probe_record(
+        gemm_tflops,
+        gemm_spec,
+        "TFLOP/s",
+        "chained-product bf16 4096-GEMM; anchor sessions ~183",
+    )
+    hbm_rec = _probe_record(
+        hbm_gbps,
+        hbm_spec,
+        "GB/s",
+        "512MB stream, full-array-live readout; judge r3 low session 453.8",
+    )
+    # HBM fraction of spec, used for the probe-normalized ratios below.
+    hbm_frac = hbm_rec.get("frac_of_spec")
 
     # Build each model's compiled sampler once; one failing model must not
     # take down the whole bench line (record the error, report 0).
@@ -487,13 +682,29 @@ def main():
         )
 
     def sub(name, value, spread, n, unit="clips/s"):
-        return {
+        rec = {
             "value": round(value, 2),
             "unit": unit,
             "vs_baseline": round(value / BASELINES[name], 3),
             "spread": round(spread, 2),
             "n": n,
         }
+        # Probe-normalized ratio: vs_baseline divided by the session's
+        # delivered-HBM fraction of spec (anchors were measured in
+        # near-spec sessions). Only meaningful when the HBM probe is
+        # valid; labeled _hbm_norm because it ASSUMES the anchor session
+        # ran at spec HBM — it contextualizes, it does not replace,
+        # vs_baseline.
+        if hbm_frac:
+            rec["vs_baseline_hbm_norm"] = round(
+                rec["vs_baseline"] / hbm_frac, 3
+            )
+        # A sampler that errored mid-run still has a median from earlier
+        # repeats; flag it so a short-sample median is never mistaken for
+        # a decision-grade reading (ADVICE r3).
+        if name in errors and samples.get(name):
+            rec["partial"] = True
+        return rec
 
     x3d_med, x3d_spread, x3d_n = stat("x3d_s")
     out = {
@@ -503,6 +714,7 @@ def main():
         "vs_baseline": round(x3d_med / BASELINES["x3d_s"], 3),
         "spread": round(x3d_spread, 2),
         "n": x3d_n,
+        "env": env,
         "submetrics": {
             "x3d_xs_inference_clips_per_sec_per_chip": sub(
                 "x3d_xs", *stat("x3d_xs")
@@ -523,16 +735,15 @@ def main():
                     pipeline / BASELINES["pipeline_fps"], 3
                 ),
             },
-            "calibration_gemm_bf16_tflops": {
-                "value": gemm_tflops,
-                "unit": "TFLOP/s",
-                "note": "anchor sessions probed ~183",
+            "host_decode_single_core_fps": {
+                "value": host_decode_fps,
+                "unit": "frames/s",
+                "note": "pinned 1-thread cv2 decode micro; host-health "
+                "context for pipeline_fps (idle 1-core dev box ref in "
+                "BASELINE.json)",
             },
-            "calibration_hbm_stream_gbps": {
-                "value": hbm_gbps,
-                "unit": "GB/s",
-                "note": "v5e spec 819",
-            },
+            "calibration_gemm_bf16_tflops": gemm_rec,
+            "calibration_hbm_stream_gbps": hbm_rec,
         },
         **({"errors": errors} if errors else {}),
     }
