@@ -105,6 +105,13 @@ def prepare_clip_store(
                 flush()
     flush()
 
+    if total == 0:
+        raise ValueError(
+            "prepare_clip_store: no clips were decoded from the dataset "
+            "(every sample failed or the iterator was empty); refusing to "
+            "write an unusable index.json"
+        )
+
     index = {
         "version": 1,
         "num_clips": total,

@@ -598,7 +598,25 @@ class MultiScaleAttention(nn.Module):
                 and self.norm_layer is not None
                 and not norm_is_batchnorm(self.norm_layer)
                 and fusable(
-                    thw, self.dim_out, triple(kkv), triple(self.stride_kv)
+                    thw,
+                    self.dim_out,
+                    triple(kkv),
+                    triple(self.stride_kv),
+                    # VMEM live-buffer estimate must use the real activation
+                    # itemsize: with f32 activations the bf16 default is 2x
+                    # low, and over-budget geometries hang at runtime on v5e
+                    # rather than failing cleanly. k_ is a (cls, grid) pair
+                    # (entries may be None); any non-None leaf carries the
+                    # activation dtype.
+                    itemsize=jnp.dtype(
+                        next(
+                            p
+                            for p in (
+                                k_ if isinstance(k_, tuple) else (k_,)
+                            )
+                            if p is not None
+                        ).dtype
+                    ).itemsize,
                 )
             )
             if use_fused:

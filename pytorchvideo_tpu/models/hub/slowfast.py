@@ -2,6 +2,11 @@
 
 from pytorchvideo_tpu.models.slowfast import create_slowfast
 
+# The shipped default for the packed-channel fast pathway (layers/packed.py).
+# The driver's multichip dryrun (__graft_entry__.py) reads this constant so the
+# gate always exercises whatever the hub factories actually default to.
+DEFAULT_PATHWAY_PACKS = (1, 2)
+
 checkpoint_names = {
     "slowfast_r50": "kinetics/SLOWFAST_8x8_R50.pyth",
     "slowfast_r101": "kinetics/SLOWFAST_8x8_R101.pyth",
@@ -22,7 +27,7 @@ def slowfast_r50(**kwargs):
     """
     kwargs.setdefault("model_depth", 50)
     kwargs.setdefault("slowfast_fusion_conv_kernel_size", (7, 1, 1))
-    kwargs.setdefault("pathway_packs", (1, 2))
+    kwargs.setdefault("pathway_packs", DEFAULT_PATHWAY_PACKS)
     return create_slowfast(**kwargs)
 
 
@@ -31,7 +36,7 @@ def slowfast_r101(**kwargs):
     default, see :func:`slowfast_r50`."""
     kwargs.setdefault("model_depth", 101)
     kwargs.setdefault("slowfast_fusion_conv_kernel_size", (5, 1, 1))
-    kwargs.setdefault("pathway_packs", (1, 2))
+    kwargs.setdefault("pathway_packs", DEFAULT_PATHWAY_PACKS)
     return create_slowfast(**kwargs)
 
 
@@ -56,7 +61,7 @@ def slowfast_16x8_r101_50_50(**kwargs):
     kwargs.setdefault("slowfast_fusion_conv_kernel_size", (5, 1, 1))
     kwargs.setdefault("stage_conv_a_kernel_sizes", stage_conv_a_kernel_sizes)
     kwargs.setdefault("head_pool_kernel_sizes", ((16, 7, 7), (64, 7, 7)))
-    kwargs.setdefault("pathway_packs", (1, 2))
+    kwargs.setdefault("pathway_packs", DEFAULT_PATHWAY_PACKS)
     return create_slowfast(**kwargs)
 
 
