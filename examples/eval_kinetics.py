@@ -78,6 +78,22 @@ EVAL_CONFIGS = {
     "mvit_base_32x3": (32, 3, 224, 224, 5, 1, None),
 }
 
+# Importer rename rules per model family (zoo/import_torch.py): the x3d and
+# mvit variable trees differ from the mechanical path translation, so a raw
+# .pyth strict import fails without them.
+def rename_rules_for(model_name):
+    from pytorchvideo_tpu.zoo.import_torch import (
+        MVIT_RENAME_RULES,
+        X3D_RENAME_RULES,
+    )
+
+    if model_name.startswith("x3d_"):
+        return X3D_RENAME_RULES
+    if model_name.startswith("mvit_"):
+        return MVIT_RENAME_RULES
+    return None
+
+
 KINETICS_MEAN = [0.45, 0.45, 0.45]
 KINETICS_STD = [0.225, 0.225, 0.225]
 
@@ -131,6 +147,7 @@ def evaluate(
     fps=30.0,
     ensemble_method="sum",
     max_videos=None,
+    jit_forward=True,
 ):
     import jax
 
@@ -158,7 +175,9 @@ def evaluate(
     num_videos = ds.num_videos
     loader = BatchLoader(ds, batch_size=batch_size, num_workers=4, drop_last=False)
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x, False))
+    fwd = lambda v, x: model.apply(v, x, False)
+    if jit_forward:
+        fwd = jax.jit(fwd)
     logits_list, vidx_list = [], []
     labels = np.full(num_videos, -1, np.int64)
     for batch in loader:
@@ -182,6 +201,10 @@ def evaluate(
         "views": f"{clips_per_video}x{spatial_crops}",
         "top1": round(top1 * 100, 2),
         "top5": round(top5 * 100, 2),
+        # per-video argmax over the ensembled logits, ordered by video
+        # index — lets golden tests lock the full protocol, not just the
+        # two scalar rates
+        "predictions": [int(p) for p in order[:, 0]],
     }
 
 
@@ -222,6 +245,19 @@ def main(argv=None):
         action="store_true",
         help="smoke-run on generated videos with random-init weights",
     )
+    parser.add_argument(
+        "--model-kwargs",
+        default=None,
+        help="JSON dict of extra kwargs for the hub model builder "
+        "(e.g. tiny geometries in tests)",
+    )
+    parser.add_argument(
+        "--deploy",
+        action="store_true",
+        help="fold BN into conv kernels before eval (accelerate/fuse.py) — "
+        "the deploy-form conversion step; numerics are exact so metrics "
+        "must match the unfolded run",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -242,7 +278,10 @@ def main(argv=None):
     side_size = args.side_size or side_size
     crop_size = args.crop_size or crop_size
 
-    model = getattr(hub, args.model)(model_num_class=args.num_classes)
+    model_kwargs = json.loads(args.model_kwargs) if args.model_kwargs else {}
+    model = getattr(hub, args.model)(
+        model_num_class=args.num_classes, **model_kwargs
+    )
     if alpha is not None:
         example = [
             np.zeros((1, num_frames // alpha, crop_size, crop_size, 3), np.float32),
@@ -253,12 +292,20 @@ def main(argv=None):
 
     if args.checkpoint:
         variables, _report = hub.load_pretrained_variables(
-            model, example, args.checkpoint
+            model,
+            example,
+            args.checkpoint,
+            rename_rules=rename_rules_for(args.model),
         )
     else:
         if not args.synthetic:
             parser.error("--checkpoint required unless --synthetic")
         variables = model.init(jax.random.PRNGKey(0), example, False)
+
+    if args.deploy:
+        from pytorchvideo_tpu.accelerate.fuse import fold_conv_bn
+
+        variables = fold_conv_bn(variables)
 
     def run(data_csv):
         return evaluate(
