@@ -131,14 +131,22 @@ def device_prefetch(batches: Iterable, sharding=None, size: int = 2):
     """Keep ``size`` batches resident on device ahead of the consumer.
 
     ``sharding``: optional jax Sharding (e.g. parallel.batch_sharding(mesh));
-    default places on the default device. Transfers are issued eagerly so
-    the next batch's host->HBM DMA overlaps the current batch's compute.
+    default places on the default device.
+
+    A background producer thread drives the source iterator and issues the
+    device transfers, so BOTH the host-side batch assembly (mmap gather /
+    collate) and the host->HBM DMA overlap the consumer's compute. (The
+    earlier deque version only overlapped the transfer, and only where
+    device_put is async — the gather ran inline on the consumer thread;
+    measured serial on the clip-store --no-device overlap probe.) The
+    bounded queue keeps at most ``size`` batches resident ahead of the
+    consumer, same memory envelope as before. Worker exceptions re-raise
+    in the consumer; abandoning the generator stops the worker promptly.
     """
-    import collections
+    import queue as queue_mod
+    import threading
 
     import jax
-
-    buf = collections.deque()
 
     def put_leaf(x):
         arr = np.asarray(x)
@@ -151,15 +159,44 @@ def device_prefetch(batches: Iterable, sharding=None, size: int = 2):
     def put(b):
         return jax.tree_util.tree_map(put_leaf, b)
 
-    it = iter(batches)
-    try:
-        for _ in range(size):
-            buf.append(put(next(it)))
-    except StopIteration:
-        pass
-    while buf:
+    que: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, size))
+    sentinel = object()
+    stop = threading.Event()
+    worker_error = []
+
+    def worker():
         try:
-            buf.append(put(next(it)))
-        except StopIteration:
-            pass
-        yield buf.popleft()
+            for b in batches:
+                item = put(b)
+                while not stop.is_set():
+                    try:
+                        que.put(item, timeout=0.1)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # re-raised on the consumer side
+            worker_error.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    que.put(sentinel, timeout=0.1)
+                    break
+                except queue_mod.Full:
+                    continue
+
+    thread = threading.Thread(
+        target=worker, name="device_prefetch", daemon=True
+    )
+    thread.start()
+    try:
+        while True:
+            item = que.get()
+            if item is sentinel:
+                if worker_error:
+                    raise worker_error[0]
+                return
+            yield item
+    finally:
+        stop.set()
