@@ -95,6 +95,10 @@ BASELINES = {
     "pipeline_fps": 160.0,
     "mvit_base_16x4": 323.0,
     "x3d_s_train_bf16": 456.6,
+    # round-4 anchors (first measurement of each; provenance in
+    # BASELINE.json)
+    "mvit_base_32x3": 134.1,
+    "slowfast_r50_train_bf16": 102.2,
 }
 
 N_SMALL = 1
@@ -103,27 +107,79 @@ N_REPEATS = 3  # interleaved repeats per metric
 N_TRIALS = 2  # min-of-trials inside one repeat (absorbs dispatch jitter)
 
 
-def _make_sampler(fn_jitted, args, leading):
+def _make_sampler(fn_jitted, args, leading, small=None, big=None):
     """Compile+warm ``fn_jitted(args..., n)`` (an on-device fori_loop over
     the model step) and return a zero-compile ``sample()`` that yields one
-    clips/s measurement via trip-count differencing."""
-    float(fn_jitted(*args, N_SMALL))
-    float(fn_jitted(*args, N_BIG))
+    clips/s measurement via trip-count differencing.
+
+    ``small``/``big`` override the trip counts: the differenced work must
+    dwarf the tunnel's multi-ms dispatch jitter. Model steps run tens of
+    ms so the default 8-iteration diff is ~400 ms; the microsecond-scale
+    calibration probes need hundreds of iterations (round-4 fix: with the
+    default counts the probe diff was 5-10 ms and the same-session spread
+    spanned 162-328 TF/s including physically impossible readings)."""
+    n_small = N_SMALL if small is None else small
+    n_big = N_BIG if big is None else big
+    float(fn_jitted(*args, n_small))
+    float(fn_jitted(*args, n_big))
 
     def sample():
         best_small = best_big = float("inf")
         for _ in range(N_TRIALS):
             t0 = time.perf_counter()
-            float(fn_jitted(*args, N_SMALL))
+            float(fn_jitted(*args, n_small))
             best_small = min(best_small, time.perf_counter() - t0)
             t0 = time.perf_counter()
-            float(fn_jitted(*args, N_BIG))
+            float(fn_jitted(*args, n_big))
             best_big = min(best_big, time.perf_counter() - t0)
         diff = best_big - best_small
         assert diff > 0, f"timing below noise floor (diff={diff:.6f}s)"
-        return leading / (diff / (N_BIG - N_SMALL))
+        return leading / (diff / (n_big - n_small))
 
     return sample
+
+
+def _model_loop_baked(model, variables):
+    """Timing loop with the weights CLOSED OVER (compile-time constants) —
+    the deploy/serving convention (accelerate/deploy.py bake_weights).
+
+    Round-4 finding (benchmarks/mvit_gate_vs_harness.py + mvit_autolayout
+    .py, one v5e session each): passing ``variables`` as a jit argument
+    costs MViT-B ~21% (287-290 vs 366-376 clips/s) because entry-parameter
+    weights are pinned to argument layouts while constants materialize in
+    XLA's preferred per-op layouts; AUTO entry layouts do not recover it
+    (288.6). This was the round-2/3 gate bimodality — two rounds of "289
+    regression" were this calling convention, not chip state (same-session
+    probes: MXU 193 TF/s, HBM 653 GB/s while reading 289). The gate now
+    measures the baked serving convention, matching what
+    convert_to_deployable_form ships. BENCH_WEIGHTS=args reverts."""
+
+    @jax.jit
+    def loop(xs, n):
+        def body(i, carry):
+            xs, acc = carry
+            out = model.apply(variables, xs, False)
+            probe = out.mean().astype(jnp.float32)
+            if isinstance(xs, (list, tuple)):
+                xs = type(xs)(
+                    x + (probe * 1e-24).astype(x.dtype) for x in xs
+                )
+            else:
+                xs = xs + (probe * 1e-24).astype(xs.dtype)
+            return (xs, acc + probe)
+
+        _, acc = jax.lax.fori_loop(0, n, body, (xs, jnp.float32(0)))
+        return acc
+
+    return loop
+
+
+def _model_sampler(model, variables, x, leading):
+    """Baked-weights sampler (default) or argument-weights sampler
+    (BENCH_WEIGHTS=args, the pre-round-4 convention, kept for A/Bs)."""
+    if os.environ.get("BENCH_WEIGHTS", "baked") == "args":
+        return _make_sampler(_model_loop(model), (variables, x), leading)
+    return _make_sampler(_model_loop_baked(model, variables), (x,), leading)
 
 
 def _model_loop(model):
@@ -178,7 +234,7 @@ def setup_x3d(device, cpu, variant, B, T, S):
     model = getattr(hub, variant)(model_num_class=400)
     variables = _deploy_variables(model, [(1, T, S, S, 3)], device, cpu)
     x = _rand_input((B, T, S, S, 3), device)
-    return _make_sampler(_model_loop(model), (variables, x), B)
+    return _model_sampler(model, variables, x, B)
 
 
 def setup_slowfast_r50(device, cpu):
@@ -193,7 +249,7 @@ def setup_slowfast_r50(device, cpu):
         _rand_input((B, 8, S, S, 3), device),
         _rand_input((B, 32, S, S, 3), device),
     ]
-    return _make_sampler(_model_loop(model), (variables, xs), B)
+    return _model_sampler(model, variables, xs, B)
 
 
 def setup_mvit(device, cpu):
@@ -218,7 +274,7 @@ def setup_mvit(device, cpu):
         }
     variables = jax.device_put(variables, device)
     x = _rand_input((B, T, S, S, 3), device)
-    return _make_sampler(_model_loop(model), (variables, x), B)
+    return _model_sampler(model, variables, x, B)
 
 
 def setup_x3d_s_train(device, cpu):
@@ -280,6 +336,112 @@ def setup_x3d_s_train(device, cpu):
         return acc
 
     return _make_sampler(loop, (state, video, label), B)
+
+
+def setup_mvit_32x3(device, cpu):
+    """MViT-B 32x3 (the long-sequence stress case: 1+16*56*56 = 50,177
+    tokens before the first pool — reference hub/vision_transformers.py:
+    31-54, SURVEY 5.7), batch 8, bf16 BN-fused baked deploy form.
+    Exercises the Pallas pooled-attention long-Lk tiling."""
+    from pytorchvideo_tpu.accelerate import fuse_bn_mvit
+    from pytorchvideo_tpu.models import hub
+
+    model = hub.mvit_base_32x3()
+    B, T, S = 8, 32, 224
+    with jax.default_device(cpu):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, T, S, S, 3)), False
+        )
+        if "batch_stats" in variables:
+            variables = fuse_bn_mvit(variables)
+        variables = {
+            "params": jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), variables["params"]
+            ),
+            **{k: v for k, v in variables.items() if k != "params"},
+        }
+    variables = jax.device_put(variables, device)
+    x = _rand_input((B, T, S, S, 3), device)
+    return _model_sampler(model, variables, x, B)
+
+
+def setup_slowfast_train(device, cpu):
+    """SlowFast-R50 full bf16 train step (fwd+bwd + SGD-momentum + MixUp +
+    SoftTarget CE): the SyncBN-family dual-pathway + FuseFastToSlow +
+    packed-fast-pathway BACKWARD, which no other gate metric covers
+    (VERDICT r3 item 4)."""
+    from pytorchvideo_tpu.models import hub
+    from pytorchvideo_tpu.train import (
+        OptimizerConfig,
+        construct_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    B, S = 32, 224
+    model = hub.slowfast_r50(model_num_class=400)
+    with jax.default_device(cpu):
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            [jnp.zeros((1, 8, S, S, 3)), jnp.zeros((1, 32, S, S, 3))],
+            False,
+        )
+        tx = construct_optimizer(
+            variables["params"],
+            OptimizerConfig(method="sgd", lr=0.1, momentum=0.9),
+        )
+        state = create_train_state(variables, tx)
+    state = jax.device_put(state, device)
+
+    from pytorchvideo_tpu.transforms.mix import _mix_labels, _sample_beta
+
+    def pathway_mixup(key, videos, labels):
+        # MixUp across a pathway list: one lambda, each pathway mixed with
+        # its batch flip (the reference's MixVideo wraps single tensors;
+        # SlowFast batches are pathway lists)
+        lam = _sample_beta(key, 1.0)
+        mixed = [v * lam + jnp.flip(v, axis=0) * (1.0 - lam) for v in videos]
+        return mixed, _mix_labels(labels, 400, lam, 0.1, False)
+
+    step = make_train_step(
+        model,
+        tx,
+        batch_transform=pathway_mixup,
+        compute_dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    videos = [
+        jax.device_put(
+            jnp.asarray(rng.uniform(-1, 1, (B, 8, S, S, 3)), jnp.float32),
+            device,
+        ),
+        jax.device_put(
+            jnp.asarray(rng.uniform(-1, 1, (B, 32, S, S, 3)), jnp.float32),
+            device,
+        ),
+    ]
+    label = jax.device_put(jnp.asarray(np.arange(B) % 400), device)
+    key = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def loop(state, videos, label, n):
+        def body(i, carry):
+            state, videos, acc = carry
+            new_state, metrics = step(
+                state, {"video": videos, "label": label}, key
+            )
+            probe = metrics["loss"].astype(jnp.float32)
+            videos = [
+                v + (probe * 1e-24).astype(v.dtype) for v in videos
+            ]
+            return (new_state, videos, acc + probe)
+
+        _, _, acc = jax.lax.fori_loop(
+            0, n, body, (state, videos, jnp.float32(0))
+        )
+        return acc
+
+    return _make_sampler(loop, (state, videos, label), B)
 
 
 # Physical per-chip peaks used to sanity-gate the calibration probes.
@@ -347,6 +509,8 @@ def calibration_probes(device):
     (v5e bf16 peak 197); v5e HBM spec is 819 GB/s; the judge's round-3
     session measured 213 TF/s / 453.8 GB/s with surviving probes.
     """
+    import statistics as _stats
+
     n = 4096
     rng = np.random.default_rng(0)
     a = jax.device_put(
@@ -355,13 +519,20 @@ def calibration_probes(device):
     b = jax.device_put(
         jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16), device
     )
-    gemm_sec = _make_sampler(gemm_probe_loop(n), (a, b), 1.0)
-    tflops = round(2 * n**3 * gemm_sec() / 1e12, 1)
+    # ~0.7 ms/iter at peak => 150 differenced iters ~ 100 ms of work,
+    # >10x the tunnel dispatch jitter; median of 3 samples.
+    gemm_sec = _make_sampler(gemm_probe_loop(n), (a, b), 1.0, small=8, big=158)
+    tflops = round(
+        2 * n**3 * _stats.median(gemm_sec() for _ in range(3)) / 1e12, 1
+    )
 
     m = 256 * 1024 * 1024 // 2  # 512 MB bf16
     x = jax.device_put(jnp.ones((m,), jnp.bfloat16), device)
-    stream_sec = _make_sampler(stream_probe_loop(), (x,), 1.0)
-    gbps = round(2 * m * 2 * stream_sec() / 1e9, 1)
+    # ~1.3 ms/iter at spec => 80 differenced iters ~ 100 ms of work.
+    stream_sec = _make_sampler(stream_probe_loop(), (x,), 1.0, small=8, big=88)
+    gbps = round(
+        2 * m * 2 * _stats.median(stream_sec() for _ in range(3)) / 1e9, 1
+    )
     return tflops, gbps
 
 
@@ -582,6 +753,10 @@ def _env_record(device):
         ),
         "jax": jax.__version__,
         "host_cpus": os.cpu_count(),
+        # serving convention for the inference samplers (_model_sampler):
+        # "baked" = weights closed over at compile time (deploy form);
+        # "args" = pre-round-4 argument weights (~21% slower on MViT-B)
+        "weights_convention": os.environ.get("BENCH_WEIGHTS", "baked"),
     }
     try:
         import jaxlib
@@ -655,7 +830,9 @@ def main():
         ("x3d_s", lambda: setup_x3d(device, cpu, "x3d_s", 128, 13, 160)),
         ("slowfast_r50", lambda: setup_slowfast_r50(device, cpu)),
         ("mvit_base_16x4", lambda: setup_mvit(device, cpu)),
+        ("mvit_base_32x3", lambda: setup_mvit_32x3(device, cpu)),
         ("x3d_s_train_bf16", lambda: setup_x3d_s_train(device, cpu)),
+        ("slowfast_r50_train_bf16", lambda: setup_slowfast_train(device, cpu)),
     ]
     samplers = {}
     for name, make in setups:

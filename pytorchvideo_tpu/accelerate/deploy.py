@@ -37,24 +37,58 @@ def convert_to_deployable_form(
     example_input,
     fold_bn: bool = True,
     dtype=jnp.bfloat16,
+    bake_weights: bool = True,
 ) -> Tuple[Callable, Any]:
-    """Returns (compiled_forward, deploy_variables).
+    """Returns (compiled_forward, deploy_variables); call
+    ``compiled_forward(deploy_variables, x)``.
 
     - BN folded into conv kernels (exact),
     - weights cast to ``dtype`` (bf16 default for MXU throughput),
-    - forward AOT-compiled via jit(...).lower(...).compile().
+    - forward AOT-compiled via jit(...).lower(...).compile(),
+    - ``bake_weights=True`` (default): the weights are closed over at
+      compile time — XLA materializes them as constants in its preferred
+      per-op layouts instead of pinning them to entry-parameter layouts.
+      Measured on v5e (MViT-B 16x4, B16 bf16, one session,
+      benchmarks/mvit_gate_vs_harness.py + mvit_autolayout.py):
+      weights-as-arguments 287-290 clips/s, weights-baked 366-376, and
+      AUTO entry layouts do NOT recover it (288.6) — the win is
+      constants, not argument layouts. This was the round-2/3 "289 vs
+      368" gate bimodality. Baked weights are the frozen-serving
+      convention (the reference's deploy analogue QNNPACK-fuses weights
+      at convert time too, reference model_conversion.py:234-272); pass
+      ``bake_weights=False`` for a weight-swappable executable at the
+      measured ~21% throughput cost on MViT-B geometry.
     """
     deploy_vars = fold_conv_bn(variables) if fold_bn else variables
     if dtype is not None:
         deploy_vars = cast_variables(deploy_vars, dtype)
 
-    def forward(vars_, x):
-        return model.apply(vars_, x, False)
-
     example = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, dtype if dtype is not None else a.dtype),
         example_input,
     )
+
+    if bake_weights:
+        def forward_baked(x):
+            return model.apply(deploy_vars, x, False)
+
+        baked = jax.jit(forward_baked).lower(example).compile()
+
+        def compiled(vars_, x):
+            if vars_ is not deploy_vars:
+                raise ValueError(
+                    "this deploy form was compiled with baked weights; "
+                    "pass the deploy_variables object returned alongside "
+                    "it (or rebuild with bake_weights=False for "
+                    "weight-swappable serving)"
+                )
+            return baked(x)
+
+        return compiled, deploy_vars
+
+    def forward(vars_, x):
+        return model.apply(vars_, x, False)
+
     compiled = jax.jit(forward).lower(deploy_vars, example).compile()
     return compiled, deploy_vars
 

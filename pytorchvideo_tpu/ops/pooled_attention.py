@@ -701,10 +701,30 @@ def pooled_attention_packed(
                 and q.shape[1] >= 128
             )
     if use_pallas:
-        # Long-Lk blocks (late MViT depths attend 392 q to 1569 kv) push the
-        # per-head fp32 probs/accumulators past the 16 MB scoped-VMEM stack
-        # at tile 512 — halve the q-tile there.
-        tile_q = _TILE_Q if k.shape[1] <= 1024 else 256
+        # The kernel keeps the full (Lk, H*c) k+v block VMEM-resident, so
+        # the q-tile must shrink as Lk grows to stay inside the 16 MB
+        # scoped-VMEM stack. Measured on v5e at the MViT-B geometries:
+        #   Lk<=1024 (16x4 depths): tile 512 optimal;
+        #   Lk<=2048 (16x4 late 1569-kv blocks): 256 (512 OOMs the stack);
+        #   beyond (32x3 block 14: Lq 784, Lk 3137, H*c 768): 256 OOMs at
+        #   19.17M/16M, tile 128 fits and runs 0.906 ms vs 1.855 XLA.
+        # If k+v residency gets large, fall back to XLA: in-model (baked
+        # weights) XLA may additionally pin the kernel's OUTPUT in scoped
+        # VMEM (observed: MViT-B 32x3 block 14, Lq 784 x Lk 3137 x H*c 768
+        # -> out 9.6M S(1) + kv 9.6M = 18.8M/16M stack OOM at ANY q-tile,
+        # even though the standalone kernel at tile 128 compiles and runs
+        # 0.906 ms vs 1.855 XLA). The placement is XLA's choice and not
+        # observable here, so gate on kv residency alone: >8 MB routes to
+        # XLA (costs ~1 ms on that one block; every 16x4 geometry, max kv
+        # 4.8 MB, keeps the kernel).
+        hc_pad = -(-q.shape[-1] // 128) * 128
+        kv_bytes = 2 * k.shape[1] * hc_pad * 2
+        if kv_bytes > 8 * 2**20:
+            return pooled_attention_packed_xla(
+                q, k, v, num_heads, scale, residual_pool
+            )
+        lk = k.shape[1]
+        tile_q = _TILE_Q if lk <= 1024 else (256 if lk <= 2048 else 128)
         return pooled_attention_packed_ad(
             q, k, v, num_heads, scale, residual_pool, tile_q
         )
