@@ -256,6 +256,80 @@ def ab():
         }), flush=True)
 
 
+def ab_dw():
+    """Whole-model A/B: plain vs DEPTHWISE-ONLY batch-packing (VERDICT r3
+    item 3). The full batch-pack lost 3x because the packed pointwise convs
+    lose more than the depthwise wins (see layers/batchpack.py). This
+    variant packs LOCALLY around each depthwise chain only — conv_a/conv_c
+    stay plain GEMMs, the pack lives inside conv_b (pack_input) and the
+    unpack inside conv_c (unpack_input); built only for dim_inner<128
+    blocks (stage-1's 54-channel inner, where the dw win 3.95->2.62 ms was
+    measured). Tests whether two relayouts per block cost less than the
+    ~1.3 ms/step dw + packed-elementwise win.
+
+    Run: python benchmarks/x3d_breakdown.py ab_dw
+    """
+    import functools
+
+    from pytorchvideo_tpu.models import create_x3d
+    from pytorchvideo_tpu.models.x3d import create_x3d_bottleneck_block
+    from pytorchvideo_tpu.utils.profiling import time_jitted
+
+    device = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+
+    models = {
+        "plain": create_x3d(
+            input_clip_length=13, input_crop_size=160, model_num_class=400
+        ),
+        "dw2": create_x3d(
+            input_clip_length=13, input_crop_size=160, model_num_class=400,
+            bottleneck=functools.partial(
+                create_x3d_bottleneck_block,
+                batch_pack=2, batch_pack_mode="dw",
+            ),
+        ),
+        "dw4": create_x3d(
+            input_clip_length=13, input_crop_size=160, model_num_class=400,
+            bottleneck=functools.partial(
+                create_x3d_bottleneck_block,
+                batch_pack=4, batch_pack_mode="dw",
+            ),
+        ),
+    }
+    in_shape = (13, 160, 160, 3)
+    v = jax.device_put(_fold_bf16(models["plain"], in_shape, cpu), device)
+    x = _rand((B,) + in_shape, device, seed=7)
+
+    ref = np.asarray(
+        jax.jit(lambda a: models["plain"].apply(v, a, False))(x[:8]),
+        np.float32,
+    )
+    for name, m in models.items():
+        if name == "plain":
+            continue
+        out = np.asarray(
+            jax.jit(lambda a, m=m: m.apply(v, a, False))(x[:8]), np.float32
+        )
+        err = float(np.max(np.abs(out - ref)))
+        print(json.dumps({"parity": name, "max_abs_err": round(err, 5)}),
+              flush=True)
+
+    rounds = {name: [] for name in models}
+    for _ in range(3):
+        for name, m in models.items():
+            sec = time_jitted(
+                lambda a, m=m: m.apply(v, a, False), x, iters=10
+            )
+            rounds[name].append(B / sec)
+    for name, cps in rounds.items():
+        print(json.dumps({
+            "model": f"x3d_s_{name}", "batch": B,
+            "clips_per_sec_per_chip": round(float(np.median(cps)), 1),
+            "rounds": [round(c, 1) for c in cps],
+        }), flush=True)
+
+
 def main():
     from pytorchvideo_tpu.layers.packed import PackedConv3d, pack_hw
     from pytorchvideo_tpu.layers.squeeze_excitation import SqueezeExcitation
@@ -370,6 +444,8 @@ if __name__ == "__main__":
         stages()
     elif len(sys.argv) > 1 and sys.argv[1] == "knockout":
         knockout()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ab_dw":
+        ab_dw()
     elif len(sys.argv) > 1 and sys.argv[1] == "ab":
         ab()
     else:

@@ -172,11 +172,84 @@ def create_x3d_bottleneck_block(
     activation: Optional[Callable] = nn.relu,
     inner_act: Optional[Callable] = swish,
     batch_pack: int = 0,
+    batch_pack_mode: str = "segment",
 ) -> BottleneckBlock:
     """1x1x1 -> depthwise 3x3x3 (+SE) + Swish -> 1x1x1
     (reference x3d.py:105-228). ``batch_pack=b`` builds the exact
     batch-packed variant of every op (layers/batchpack.py) — identical
-    parameter tree, adapts to unpacked inputs at call time."""
+    parameter tree, adapts to unpacked inputs at call time.
+
+    ``batch_pack_mode="dw"`` packs LOCALLY around the depthwise chain
+    only (VERDICT r3 item 3): conv_a/conv_c stay plain unpacked GEMMs
+    (the measured losers when packed) while conv_b + BN + SE + swish run
+    batch-packed; the pack happens inside conv_b (``pack_input``) and the
+    unpack inside conv_c (``unpack_input``). Built only while
+    ``dim_inner < 128`` (lane-underfilled); wider blocks build plain.
+
+    MEASURED VERDICT (v5e B128 bf16 deploy, one session, interleaved
+    medians, benchmarks/x3d_breakdown.py ab_dw): plain 3,658 clips/s,
+    dw-only pack2 1,129, pack4 1,110 — a 3x loss, same as whole-model
+    packing. The cost was never the packed pointwise arithmetic: it is
+    the two (B,..,C)<->(B/b,..,b*C) relayouts per block (XLA materializes
+    the minor-dim re-tile as a copy), ~2 copies x 8 packed blocks against
+    a 1.3 ms/step depthwise win. HW parity exact (9.8e-4 bf16). Default
+    stays plain; see docs/x3d_roofline.md."""
+    if batch_pack > 1 and batch_pack_mode == "dw":
+        if dim_inner >= 128:
+            batch_pack = 0  # lanes already full; local packing is pointless
+        else:
+            from pytorchvideo_tpu.layers.batchpack import (
+                BatchPackedConv3d,
+                BatchPackedSE,
+            )
+            from pytorchvideo_tpu.layers.packed import packed_norm
+
+            se = (
+                BatchPackedSE(
+                    num_channels_reduced=round_width(dim_inner, se_ratio),
+                    channels=dim_inner,
+                    batch=batch_pack,
+                )
+                if se_ratio > 0.0
+                else None
+            )
+            return BottleneckBlock(
+                conv_a=Conv3d(
+                    in_channels=dim_in,
+                    out_channels=dim_inner,
+                    kernel_size=(1, 1, 1),
+                    bias=False,
+                ),
+                norm_a=make_norm(norm, dim_inner, norm_eps, norm_momentum),
+                act_a=make_act(activation),
+                conv_b=BatchPackedConv3d(
+                    features=dim_inner,
+                    kernel_size=conv_kernel_size,
+                    in_channels=dim_inner,
+                    batch=batch_pack,
+                    strides=conv_stride,
+                    padding=tuple(s // 2 for s in conv_kernel_size),
+                    groups=dim_inner,
+                    use_bias=False,
+                    pack_input=True,
+                ),
+                norm_b=NormSE(
+                    norm=make_norm(
+                        packed_norm(norm), dim_inner, norm_eps, norm_momentum
+                    ),
+                    se=se,
+                ),
+                act_b=make_act(inner_act),
+                conv_c=BatchPackedConv3d(
+                    features=dim_out,
+                    kernel_size=(1, 1, 1),
+                    in_channels=dim_inner,
+                    batch=batch_pack,
+                    use_bias=False,
+                    unpack_input=True,
+                ),
+                norm_c=make_norm(norm, dim_out, norm_eps, norm_momentum),
+            )
     if batch_pack > 1:
         from pytorchvideo_tpu.layers.batchpack import (
             BatchPackedConv3d,
@@ -565,6 +638,20 @@ def create_x3d(
     if batch_pack is None:
         batch_pack = int(os.environ.get("PVT_X3D_BPACK", "0"))
     bpack_entry = os.environ.get("PVT_X3D_BPACK_ENTRY", "input")
+    if batch_pack > 1:
+        import inspect
+
+        try:
+            accepts_pack = "batch_pack" in inspect.signature(bottleneck).parameters
+        except (TypeError, ValueError):
+            accepts_pack = False
+        if not accepts_pack:
+            raise ValueError(
+                "create_x3d: batch_pack>1 (set via the batch_pack arg or the "
+                "PVT_X3D_BPACK env var) requires a bottleneck callable that "
+                f"accepts a batch_pack kwarg; got {bottleneck!r}. Unset "
+                "PVT_X3D_BPACK or use create_x3d_bottleneck_block."
+            )
 
     blocks = []
     stem_dim_out = round_width(stem_dim_in, width_factor)

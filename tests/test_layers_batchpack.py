@@ -207,3 +207,45 @@ def test_x3d_batch_pack_grad_parity():
             np.asarray(a), np.asarray(bb), rtol=0, atol=5e-4 * scale,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_x3d_dw_only_pack_parity():
+    """Depthwise-only local packing (batch_pack_mode="dw",
+    VERDICT r4 item 3): identical param tree, exact outputs at packable
+    and non-divisible batches, and plain fallback for wide blocks."""
+    import functools
+
+    from pytorchvideo_tpu.models.x3d import create_x3d_bottleneck_block
+
+    kw = dict(dim_in=16, dim_inner=24, dim_out=16, conv_stride=(1, 1, 1))
+    plain = create_x3d_bottleneck_block(**kw)
+    dw = create_x3d_bottleneck_block(
+        batch_pack=2, batch_pack_mode="dw", **kw
+    )
+    x = _rand((4, 3, 8, 8, 16), seed=3)
+    v = plain.init(jax.random.PRNGKey(0), x, False)
+    assert jax.tree_util.tree_structure(
+        dw.init(jax.random.PRNGKey(0), x, False)
+    ) == jax.tree_util.tree_structure(v)
+    np.testing.assert_allclose(
+        np.asarray(dw.apply(v, x, False)),
+        np.asarray(plain.apply(v, x, False)),
+        rtol=0, atol=1e-5,
+    )
+    # odd batch falls back to the plain path inside the module
+    np.testing.assert_allclose(
+        np.asarray(dw.apply(v, x[:3], False)),
+        np.asarray(plain.apply(v, x[:3], False)),
+        rtol=0, atol=1e-5,
+    )
+    # wide inner (>=128) builds plain even with mode="dw"
+    wide = create_x3d_bottleneck_block(
+        batch_pack=2, batch_pack_mode="dw",
+        dim_in=16, dim_inner=128, dim_out=16, conv_stride=(1, 1, 1),
+    )
+    xw = _rand((2, 3, 8, 8, 16), seed=4)
+    vw = create_x3d_bottleneck_block(
+        dim_in=16, dim_inner=128, dim_out=16, conv_stride=(1, 1, 1)
+    ).init(jax.random.PRNGKey(0), xw, False)
+    out = wide.apply(vw, xw, False)
+    assert out.shape == (2, 3, 8, 8, 16)
