@@ -115,6 +115,27 @@ def test_convert_to_deployable_form_runs():
     )
 
 
+def test_convert_to_deployable_form_weight_modes():
+    """bake_weights=True guards against foreign variables (the executable
+    embeds the weights as constants); bake_weights=False is
+    weight-swappable and matches the baked output."""
+    model, variables, x = _tiny_x3d()
+    xb = jnp.asarray(x, jnp.bfloat16)
+    baked, baked_vars = convert_to_deployable_form(
+        model, variables, x, dtype=jnp.bfloat16
+    )
+    swappable, swap_vars = convert_to_deployable_form(
+        model, variables, x, dtype=jnp.bfloat16, bake_weights=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(baked(baked_vars, xb), np.float32),
+        np.asarray(swappable(swap_vars, xb), np.float32),
+        atol=1e-2,
+    )
+    with pytest.raises(ValueError, match="baked weights"):
+        baked(swap_vars, xb)
+
+
 def test_quantize_roundtrip():
     model, variables, x = _tiny_x3d()
     err = quantization_error(variables)
