@@ -18,6 +18,20 @@ Ablations:
   fast_ablated  fast-pathway stem+stages replaced (fusion convs kept)
   slow_ablated  slow-pathway stem+stages replaced
   fuse_ablated  FuseFastToSlow replaced by shape-matched cheap concat
+  head_ablated  PoolConcatPathway+ResNetBasicHead replaced by a
+                full-reduction stand-in (direct head-bucket measurement)
+  both_ablated  BOTH pathways replaced, fusion+head real: measures the
+                stand-in floor itself
+
+Round-4 session (v5e, B64, bf16 deploy, shipped packed default): full
+113.08 ms (566.0 clips/s) | fast_ablated 73.80 | slow_ablated 73.18 |
+head_ablated 112.97 | both_ablated 33.08 | fuse_ablated 112.10 (vs a
+same-session full re-read of 113.01: fusion ~0.9 ms). The round-2 "~18-25 ms
+head/pool residual" was an artifact: the head bucket measures 0.12 ms
+DIRECTLY, and both_ablated shows the CheapStage stand-ins themselves
+cost ~33 ms (they materialize full-size lane-padded stage outputs), so
+summing single-ablation deltas double-counts the stand-in floor. See
+docs/slowfast_roofline.md "Round-4 resolution".
 
 Recorded run (v5e, B64, bf16 deploy form, 2026-08-18 session):
   full 116.57 ms/batch (549.0 clips/s) | fast_ablated 64.35 |
@@ -91,11 +105,39 @@ class CheapFuse(nn.Module):
     def __call__(self, x: List, train: bool = False):
         x_s, x_f = x[0], x[1]
         y = x_f[:, :: self.temporal_stride, :, :, :1]
+        # hub default ships the fast pathway packed (pathway_packs=(1,2)):
+        # fast runs at (H/p, W/p, p^2*C) — repeat the 1-channel slice back
+        # up to slow's spatial grid so the stand-in stays shape-matched
+        if y.shape[2] != x_s.shape[2]:
+            p = x_s.shape[2] // y.shape[2]
+            y = jnp.repeat(jnp.repeat(y, p, axis=2), p, axis=3)
         scale = self.param("scale", nn.initializers.ones, (1,))
         y = jnp.broadcast_to(
             y * scale, y.shape[:-1] + (self.out_channels,)
         ).astype(x_f.dtype)
         return [jnp.concatenate([x_s, y], axis=-1), x_f]
+
+
+class CheapLogits(nn.Module):
+    """Stand-in for PoolConcatPathway + head: [slow, fast] -> (B, classes),
+    data-dependent (slice + learned scale + broadcast)."""
+
+    num_classes: int = 400
+
+    @nn.compact
+    def __call__(self, x: List, train: bool = False):
+        # depend on EVERY ELEMENT of EVERY pathway: a slice would let XLA
+        # narrow the final-stage convs (channel/spatial slice sinking) and
+        # under-time the trunk, overstating the inferred head bucket. A
+        # full mean costs one HBM read of each pathway (~0.2 ms at B64),
+        # which the real head's pools also pay — comparable floor.
+        y = jnp.mean(x[0].astype(jnp.float32), axis=(1, 2, 3, 4), keepdims=False)
+        for p in x[1:]:
+            y = y + jnp.mean(p.astype(jnp.float32), axis=(1, 2, 3, 4))
+        scale = self.param("scale", nn.initializers.ones, (1,))
+        return jnp.broadcast_to(
+            (y * scale)[:, None], (y.shape[0], self.num_classes)
+        ).astype(x[0].dtype)
 
 
 def build_variant(which: str):
@@ -114,11 +156,24 @@ def build_variant(which: str):
     fuse_outs = [16, 64, 128, 256]  # 2 * fast_out for stages 0..3
 
     blocks = list(model.blocks)
+    if which == "head_ablated":
+        # blocks 5 (PoolConcatPathway) + 6 (ResNetBasicHead) -> stand-in:
+        # the direct measurement of the head/pool bucket (VERDICT r3
+        # item 7) instead of inferring it as the ablation residual
+        return model.clone(blocks=tuple(blocks[:5]) + (CheapLogits(),))
     for i in range(5):  # stem + 4 res stages carry pathways
         mpw = blocks[i]
         sub = list(mpw.multipathway_blocks)
         fusion = mpw.multipathway_fusion
         if which == "fast_ablated":
+            sub[1] = CheapStage(
+                out_channels=fast_outs[i], spatial_stride=spatial[i]
+            )
+        elif which == "both_ablated":
+            # stand-in floor probe: both pathways cheap, fusion+head real
+            sub[0] = CheapStage(
+                out_channels=slow_outs[i], spatial_stride=spatial[i]
+            )
             sub[1] = CheapStage(
                 out_channels=fast_outs[i], spatial_stride=spatial[i]
             )
@@ -157,20 +212,26 @@ def time_variant(which: str) -> Tuple[float, float]:
             **{k: v for k, v in variables.items() if k != "params"},
         }
     variables = jax.device_put(variables, device)
-    x = [
-        jax.device_put(
-            jnp.asarray(
-                rng.uniform(-1, 1, (BATCH, 8, 224, 224, 3)), jnp.bfloat16
+    # generate the ~770 MB of inputs ON DEVICE: host->device transfer of
+    # B64 224^2 tensors through the axon tunnel was measured to stall for
+    # tens of minutes in degraded sessions (round-4), and the values only
+    # need to be well-scaled noise
+    key = jax.random.PRNGKey(int(rng.integers(1 << 31)))
+    gen = jax.jit(
+        lambda k: [
+            jax.random.uniform(
+                k, (BATCH, 8, 224, 224, 3), jnp.bfloat16, -1, 1
             ),
-            device,
-        ),
-        jax.device_put(
-            jnp.asarray(
-                rng.uniform(-1, 1, (BATCH, 32, 224, 224, 3)), jnp.bfloat16
+            jax.random.uniform(
+                jax.random.fold_in(k, 1),
+                (BATCH, 32, 224, 224, 3),
+                jnp.bfloat16,
+                -1,
+                1,
             ),
-            device,
-        ),
-    ]
+        ]
+    )
+    x = jax.block_until_ready(gen(key))
 
     def fn(slow, fast):
         return model.apply(variables, [slow, fast], False)
@@ -181,7 +242,14 @@ def time_variant(which: str) -> Tuple[float, float]:
 
 def main():
     results = {}
-    for which in ["full", "fast_ablated", "slow_ablated", "fuse_ablated"]:
+    for which in [
+        "full",
+        "fast_ablated",
+        "slow_ablated",
+        "fuse_ablated",
+        "head_ablated",
+        "both_ablated",
+    ]:
         try:
             sec, cps = time_variant(which)
             results[which] = sec
