@@ -221,11 +221,18 @@ def _deploy_variables(model, example_shapes, device, cpu):
     return jax.device_put(variables, device)
 
 
-def _rand_input(shape, device, seed=0):
-    rng = np.random.default_rng(seed)
-    return jax.device_put(
-        jnp.asarray(rng.uniform(-1, 1, shape), jnp.bfloat16), device
-    )
+def _rand_input(shape, device, seed=0, dtype=jnp.bfloat16):
+    """Uniform(-1,1) benchmark input generated ON DEVICE (jax.random
+    under jit). Round-4 change: host->device transfer of the multi-
+    hundred-MB inputs through the axon tunnel was measured to stall for
+    tens of minutes in degraded sessions; the inputs are noise either
+    way, and generating device-side removes the gate's only large
+    transfers (throughput does not depend on input values)."""
+    with jax.default_device(device):
+        x = jax.jit(
+            lambda k: jax.random.uniform(k, shape, dtype, -1, 1)
+        )(jax.random.PRNGKey(seed))
+    return jax.block_until_ready(x)
 
 
 def setup_x3d(device, cpu, variant, B, T, S):
@@ -309,10 +316,7 @@ def setup_x3d_s_train(device, cpu):
         batch_transform=lambda k, v, l: mix(k, v, l),
         compute_dtype=jnp.bfloat16,
     )
-    rng = np.random.default_rng(0)
-    video = jax.device_put(
-        jnp.asarray(rng.uniform(-1, 1, (B, T, S, S, 3)), jnp.float32), device
-    )
+    video = _rand_input((B, T, S, S, 3), device, seed=0, dtype=jnp.float32)
     label = jax.device_put(jnp.asarray(np.arange(B) % 400), device)
     key = jax.random.PRNGKey(1)
 
@@ -409,16 +413,9 @@ def setup_slowfast_train(device, cpu):
         batch_transform=pathway_mixup,
         compute_dtype=jnp.bfloat16,
     )
-    rng = np.random.default_rng(0)
     videos = [
-        jax.device_put(
-            jnp.asarray(rng.uniform(-1, 1, (B, 8, S, S, 3)), jnp.float32),
-            device,
-        ),
-        jax.device_put(
-            jnp.asarray(rng.uniform(-1, 1, (B, 32, S, S, 3)), jnp.float32),
-            device,
-        ),
+        _rand_input((B, 8, S, S, 3), device, seed=0, dtype=jnp.float32),
+        _rand_input((B, 32, S, S, 3), device, seed=1, dtype=jnp.float32),
     ]
     label = jax.device_put(jnp.asarray(np.arange(B) % 400), device)
     key = jax.random.PRNGKey(1)
@@ -840,6 +837,35 @@ def main():
             samplers[name] = make()
         except Exception as e:  # pragma: no cover
             errors[name] = f"{type(e).__name__}: {e}"[:400]
+
+    # Dirty-tunnel mitigation (round-4 incident, 2026-08-20): a crashed or
+    # killed prior client can leave the axon server holding that client's
+    # HBM until every connection drops; this process then fails EVERY
+    # model setup with RESOURCE_EXHAUSTED while the small calibration
+    # probes pass, and a fresh process minutes later measures normally.
+    # If every setup OOM'd, re-exec once: teardown drops our claim, the
+    # server frees the leaked buffers, and the retry starts clean.
+    if (
+        setups
+        and all(
+            "RESOURCE_EXHAUSTED" in errors.get(n, "") for n, _ in setups
+        )
+        and not os.environ.get("PVT_BENCH_REEXEC")
+    ):
+        import sys
+
+        print(
+            "bench: every model setup hit RESOURCE_EXHAUSTED (stale tunnel"
+            " claim holding HBM?); re-exec'ing once after 120 s",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(120.0)
+        os.execve(
+            sys.executable,
+            [sys.executable, os.path.abspath(__file__)],
+            dict(os.environ, PVT_BENCH_REEXEC="1"),
+        )
 
     # Interleaved repeats: round-robin so slow drift hits all models alike.
     samples = {name: [] for name in samplers}
