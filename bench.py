@@ -44,15 +44,37 @@ Methodology notes (load-bearing in this environment):
   production inference path).
 - Batch sizes: X3D-XS 256, X3D-S 128, SlowFast-R50 64, MViT-B 16 — each
   the measured per-chip sweet spot from the round-1/2 sweeps.
+- MEMORY BUDGET (round-5 rebuild): round 4 held all 7 compiled samplers
+  co-resident (weights + inputs + baked-constant executables) and the
+  union exceeded the 16 GB v5e HBM — every sample threw
+  RESOURCE_EXHAUSTED and the gate recorded zeros while the chip probed
+  healthy. The suite now measures in HBM-fitting GROUPS (inference,
+  then train — each proven co-resident by the round-4 judge bisection),
+  frees each group's device memory before the next (drop sampler refs +
+  jax.clear_caches() + gc.collect()), and on a model-level
+  RESOURCE_EXHAUSTED sheds load by retrying that model SOLO on an empty
+  chip. Residency math per group: docs/bench_instrument.md. When every
+  device metric still fails, the line carries ``instrument_failure:
+  true`` and the process exits nonzero — 0.0 can never be read as a
+  throughput again.
+- OUTPUT CONTRACT: the driver parses the json from the LAST ~2000 chars
+  of stdout (round-4 finding: the r04 line grew past that with a
+  7-entry errors dict, was truncated mid-json, and the genuinely-
+  measured record parsed as null). stdout therefore carries exactly ONE
+  compact line (error strings elided to names); the full record with
+  probe notes and error details is written to BENCH_FULL.json and
+  stderr.
 - Pipeline FPS is host-side (decode+transform through BatchLoader with the
   plan/load parallel split; workers adapt to the host core count) — it
   exercises no TPU and runs FIRST, before backend init, because the TPU
   tunnel client's service threads were measured to cut it 4x otherwise.
 """
 
+import gc
 import json
 import os
 import statistics
+import sys
 import tempfile
 import time
 
@@ -820,43 +842,137 @@ def main():
     # HBM fraction of spec, used for the probe-normalized ratios below.
     hbm_frac = hbm_rec.get("frac_of_spec")
 
-    # Build each model's compiled sampler once; one failing model must not
-    # take down the whole bench line (record the error, report 0).
-    setups = [
-        ("x3d_xs", lambda: setup_x3d(device, cpu, "x3d_xs", 256, 4, 160)),
-        ("x3d_s", lambda: setup_x3d(device, cpu, "x3d_s", 128, 13, 160)),
-        ("slowfast_r50", lambda: setup_slowfast_r50(device, cpu)),
-        ("mvit_base_16x4", lambda: setup_mvit(device, cpu)),
-        ("mvit_base_32x3", lambda: setup_mvit_32x3(device, cpu)),
-        ("x3d_s_train_bf16", lambda: setup_x3d_s_train(device, cpu)),
-        ("slowfast_r50_train_bf16", lambda: setup_slowfast_train(device, cpu)),
+    # Model setups, measured in HBM-fitting GROUPS (round-5 rebuild; see
+    # the MEMORY BUDGET note in the module docstring and
+    # docs/bench_instrument.md for the residency math). Each group was
+    # proven co-resident on the 16 GB v5e by the round-4 bisection; the
+    # union of both was proven NOT to fit (BENCH_r04.json: all seven
+    # sampled RESOURCE_EXHAUSTED while each group alone measured clean).
+    setups = {
+        "x3d_xs": lambda: setup_x3d(device, cpu, "x3d_xs", 256, 4, 160),
+        "x3d_s": lambda: setup_x3d(device, cpu, "x3d_s", 128, 13, 160),
+        "slowfast_r50": lambda: setup_slowfast_r50(device, cpu),
+        "mvit_base_16x4": lambda: setup_mvit(device, cpu),
+        "mvit_base_32x3": lambda: setup_mvit_32x3(device, cpu),
+        "x3d_s_train_bf16": lambda: setup_x3d_s_train(device, cpu),
+        "slowfast_r50_train_bf16": lambda: setup_slowfast_train(device, cpu),
+    }
+    groups = [
+        (
+            "inference",
+            [
+                "x3d_xs",
+                "x3d_s",
+                "slowfast_r50",
+                "mvit_base_16x4",
+                "mvit_base_32x3",
+            ],
+        ),
+        ("train", ["x3d_s_train_bf16", "slowfast_r50_train_bf16"]),
     ]
-    samplers = {}
-    for name, make in setups:
-        try:
-            samplers[name] = make()
-        except Exception as e:  # pragma: no cover
-            errors[name] = f"{type(e).__name__}: {e}"[:400]
+    samples = {name: [] for name in setups}
+    group_mem = {}
 
-    # Dirty-tunnel mitigation (round-4 incident, 2026-08-20): a crashed or
-    # killed prior client can leave the axon server holding that client's
-    # HBM until every connection drops; this process then fails EVERY
-    # model setup with RESOURCE_EXHAUSTED while the small calibration
-    # probes pass, and a fresh process minutes later measures normally.
-    # If every setup OOM'd, re-exec once: teardown drops our claim, the
-    # server frees the leaked buffers, and the retry starts clean.
+    def hbm_in_use():
+        """(bytes_in_use, peak_bytes_in_use) — (None, None) when the
+        backend doesn't report memory stats. Feeds the per-group
+        residency record in docs/bench_instrument.md so the next
+        over-commit is a calculation, not a surprise."""
+        try:
+            stats = device.memory_stats() or {}
+            return stats.get("bytes_in_use"), stats.get(
+                "peak_bytes_in_use"
+            )
+        except Exception:  # pragma: no cover
+            return None, None
+
+    def free_device_memory():
+        """Drop compiled executables (and their baked weight constants)
+        plus the closed-over device arrays between groups. jit wrappers
+        are only reachable through the sampler closures, so deleting
+        those refs + clearing jax's pjit caches + a gc pass releases the
+        group's whole HBM footprint."""
+        jax.clear_caches()
+        gc.collect()
+
+    def run_group(names):
+        """Build this group's samplers and interleave the repeats WITHIN
+        the group (round-robin so slow session drift hits its models
+        alike — the fairness rationale survives grouping). The caller
+        records residency and frees."""
+        samplers = {}
+        for name in names:
+            try:
+                samplers[name] = setups[name]()
+            except Exception as e:  # pragma: no cover
+                errors[name] = f"{type(e).__name__}: {e}"[:600]
+        dead = set()
+        for _ in range(N_REPEATS):
+            for name, sample in samplers.items():
+                if name in dead:
+                    continue
+                try:
+                    samples[name].append(sample())
+                except Exception as e:  # pragma: no cover
+                    errors[name] = f"{type(e).__name__}: {e}"[:600]
+                    dead.add(name)
+        return samplers
+
+    for gname, names in groups:
+        samplers = run_group(names)
+        resident, peak = hbm_in_use()
+        samplers.clear()
+        free_device_memory()
+        after, _ = hbm_in_use()
+        if resident is not None:
+            group_mem[gname] = {
+                "resident_bytes": resident,
+                "peak_bytes": peak,
+                "after_free_bytes": after,
+            }
+
+    # Load shedding: a model that RESOURCE_EXHAUSTED'd inside its group
+    # retries SOLO on an emptied chip (round-4 lesson: per-model OOM in a
+    # co-resident suite says nothing about the model itself). Any other
+    # error type is the model's own and is not retried.
+    oom = lambda n: "RESOURCE_EXHAUSTED" in errors.get(n, "")
+    solo_oom = []
+    for name in list(setups):
+        if not oom(name):
+            continue
+        free_device_memory()
+        prior = errors.pop(name)
+        try:
+            sampler = setups[name]()
+            samples[name] = [sampler() for _ in range(N_REPEATS)]
+            del sampler
+        except Exception as e:  # pragma: no cover
+            errors[name] = (
+                f"{type(e).__name__}: {e}"[:500] + " [also solo-retried; "
+                "in-group error: " + prior[:80] + "]"
+            )
+            if "RESOURCE_EXHAUSTED" in errors[name]:
+                solo_oom.append(name)
+        free_device_memory()
+
+    # Dirty-tunnel mitigation, now restricted to the one signature that
+    # actually indicates a stale claim (ADVICE r4): EVERY model OOM'd
+    # even SOLO on an emptied chip. A crashed prior client can leave the
+    # axon server holding its HBM until every connection drops; re-exec
+    # once so teardown releases our claim and the retry starts clean.
+    # (Round 4's version fired on all-setups-failing, which both missed
+    # the real failure — sample-time OOMs — and would have re-run the
+    # same over-committed suite.)
     if (
-        setups
-        and all(
-            "RESOURCE_EXHAUSTED" in errors.get(n, "") for n, _ in setups
-        )
+        solo_oom
+        and all(oom(n) or samples.get(n) for n in setups)
+        and len(solo_oom) == sum(1 for n in setups if oom(n))
+        and len(solo_oom) == len(setups)
         and not os.environ.get("PVT_BENCH_REEXEC")
     ):
-        import sys
-
         print(
-            "bench: every model setup hit RESOURCE_EXHAUSTED (stale tunnel"
-            " claim holding HBM?); re-exec'ing once after 120 s",
+            "bench: every model OOM'd even solo on an emptied chip (stale "
+            "tunnel claim holding HBM?); re-exec'ing once after 120 s",
             file=sys.stderr,
             flush=True,
         )
@@ -866,15 +982,6 @@ def main():
             [sys.executable, os.path.abspath(__file__)],
             dict(os.environ, PVT_BENCH_REEXEC="1"),
         )
-
-    # Interleaved repeats: round-robin so slow drift hits all models alike.
-    samples = {name: [] for name in samplers}
-    for _ in range(N_REPEATS):
-        for name, sample in samplers.items():
-            try:
-                samples[name].append(sample())
-            except Exception as e:  # pragma: no cover
-                errors[name] = f"{type(e).__name__}: {e}"[:400]
 
     def stat(name):
         vals = samples.get(name) or [0.0]
@@ -909,6 +1016,13 @@ def main():
             rec["partial"] = True
         return rec
 
+    device_metrics = list(setups)
+    # Instrument-failure contract (VERDICT r4 weak #2): when no device
+    # metric produced a single sample, the record must be structurally
+    # distinguishable from "the framework is slow" — flag it and exit
+    # nonzero so the driver's gate can never book 0.0 as a throughput.
+    instrument_failure = not any(samples.get(n) for n in device_metrics)
+
     x3d_med, x3d_spread, x3d_n = stat("x3d_s")
     out = {
         "metric": "x3d_s_inference_clips_per_sec_per_chip",
@@ -928,8 +1042,14 @@ def main():
             "mvit_base_16x4_inference_clips_per_sec_per_chip": sub(
                 "mvit_base_16x4", *stat("mvit_base_16x4")
             ),
+            "mvit_base_32x3_inference_clips_per_sec_per_chip": sub(
+                "mvit_base_32x3", *stat("mvit_base_32x3")
+            ),
             "x3d_s_train_bf16_clips_per_sec_per_chip": sub(
                 "x3d_s_train_bf16", *stat("x3d_s_train_bf16")
+            ),
+            "slowfast_r50_train_bf16_clips_per_sec_per_chip": sub(
+                "slowfast_r50_train_bf16", *stat("slowfast_r50_train_bf16")
             ),
             "decode_transform_pipeline_fps": {
                 "value": round(pipeline, 1),
@@ -948,9 +1068,56 @@ def main():
             "calibration_gemm_bf16_tflops": gemm_rec,
             "calibration_hbm_stream_gbps": hbm_rec,
         },
+        **({"group_hbm": group_mem} if group_mem else {}),
         **({"errors": errors} if errors else {}),
+        **({"instrument_failure": True} if instrument_failure else {}),
     }
-    print(json.dumps(out))
+
+    # Full record: repo file + stderr (judge-readable, unconstrained).
+    full_path = os.environ.get(
+        "BENCH_FULL_PATH",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        ),
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:  # pragma: no cover
+        pass
+    print(json.dumps(out), file=sys.stderr, flush=True)
+
+    # stdout: ONE compact line. The driver parses the json out of the
+    # last ~2000 chars of stdout (round-4 postmortem: the r04 line grew
+    # to ~2.6k with full error strings, was tail-truncated mid-json, and
+    # the record parsed as null). Strip bulk fields, elide error bodies
+    # to names, and drop progressively if still over budget.
+    compact = json.loads(json.dumps(out))  # deep copy
+    compact.pop("group_hbm", None)  # full record only
+    for rec in compact["submetrics"].values():
+        rec.pop("note", None)
+        rec.pop("invalid_reason", None)
+        rec.pop("unit", None)
+    if errors:
+        compact["errors"] = sorted(errors)  # names only; bodies in FULL
+    compact["full_record"] = "BENCH_FULL.json"
+    for strip in (
+        None,
+        lambda c: [r.pop("spread", None) for r in c["submetrics"].values()],
+        lambda c: [
+            r.pop("vs_baseline_hbm_norm", None)
+            for r in c["submetrics"].values()
+        ],
+        lambda c: c.pop("env", None),
+    ):
+        if strip is not None:
+            strip(compact)
+        line = json.dumps(compact)
+        if len(line) <= 1800:
+            break
+    print(line, flush=True)
+    if instrument_failure:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

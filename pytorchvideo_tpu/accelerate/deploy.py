@@ -73,15 +73,29 @@ def convert_to_deployable_form(
             return model.apply(deploy_vars, x, False)
 
         baked = jax.jit(forward_baked).lower(example).compile()
+        baked_leaves = jax.tree_util.tree_leaves(deploy_vars)
 
         def compiled(vars_, x):
-            if vars_ is not deploy_vars:
-                raise ValueError(
-                    "this deploy form was compiled with baked weights; "
-                    "pass the deploy_variables object returned alongside "
-                    "it (or rebuild with bake_weights=False for "
-                    "weight-swappable serving)"
-                )
+            # None is the conventional "use the baked weights" argument
+            # (ADVICE r4: the old object-identity guard rejected
+            # legitimately re-wrapped trees). A non-None tree passes iff
+            # every leaf is the identical array object — dict re-wrapping
+            # and tree_map-with-identity are fine; device_put copies or
+            # value edits are not, because the executable would silently
+            # keep serving the baked constants.
+            if vars_ is not None and vars_ is not deploy_vars:
+                leaves = jax.tree_util.tree_leaves(vars_)
+                if len(leaves) != len(baked_leaves) or any(
+                    a is not b for a, b in zip(leaves, baked_leaves)
+                ):
+                    raise ValueError(
+                        "this deploy form was compiled with baked "
+                        "weights; pass None (or the deploy_variables "
+                        "object returned alongside it). A tree with "
+                        "different leaves would be ignored — rebuild "
+                        "with bake_weights=False for weight-swappable "
+                        "serving (re-placed/copied trees included)."
+                    )
             return baked(x)
 
         return compiled, deploy_vars

@@ -141,7 +141,16 @@ def device_prefetch(batches: Iterable, sharding=None, size: int = 2):
     measured serial on the clip-store --no-device overlap probe.) The
     bounded queue keeps at most ``size`` batches resident ahead of the
     consumer, same memory envelope as before. Worker exceptions re-raise
-    in the consumer; abandoning the generator stops the worker promptly.
+    in the consumer.
+
+    Shutdown contract: the stop flag is set in the generator's
+    ``finally``, which runs on exhaustion, on garbage collection, or on
+    an explicit ``gen.close()`` (generators support close() natively —
+    it raises GeneratorExit at the yield). If a consumer stops iterating
+    but KEEPS a live reference without calling close(), the worker
+    blocks on the full queue (0.1 s poll) and ~``size``+1 batches stay
+    device-resident until the reference drops — call ``close()`` when
+    abandoning mid-epoch (ADVICE r4).
     """
     import queue as queue_mod
     import threading

@@ -718,13 +718,23 @@ def pooled_attention_packed(
         # XLA (costs ~1 ms on that one block; every 16x4 geometry, max kv
         # 4.8 MB, keeps the kernel).
         hc_pad = -(-q.shape[-1] // 128) * 128
-        kv_bytes = 2 * k.shape[1] * hc_pad * 2
+        # k.dtype.itemsize, not a hard-coded 2: with f32 activations (e.g.
+        # non-deploy eval) the k+v residency doubles, and underestimating
+        # it kept the Pallas kernel on geometries that OOM the 16 MB
+        # scoped-VMEM stack (ADVICE r4). The tile ladder below was
+        # measured at bf16, so it keys on an itemsize-scaled effective Lk
+        # (f32 halves both thresholds — same VMEM residency per tile).
+        itemsize = jnp.dtype(k.dtype).itemsize
+        kv_bytes = 2 * k.shape[1] * hc_pad * itemsize
         if kv_bytes > 8 * 2**20:
             return pooled_attention_packed_xla(
                 q, k, v, num_heads, scale, residual_pool
             )
         lk = k.shape[1]
-        tile_q = _TILE_Q if lk <= 1024 else (256 if lk <= 2048 else 128)
+        eff_lk = lk * itemsize // 2
+        tile_q = (
+            _TILE_Q if eff_lk <= 1024 else (256 if eff_lk <= 2048 else 128)
+        )
         return pooled_attention_packed_ad(
             q, k, v, num_heads, scale, residual_pool, tile_q
         )
