@@ -528,8 +528,6 @@ def calibration_probes(device):
     (v5e bf16 peak 197); v5e HBM spec is 819 GB/s; the judge's round-3
     session measured 213 TF/s / 453.8 GB/s with surviving probes.
     """
-    import statistics as _stats
-
     n = 4096
     rng = np.random.default_rng(0)
     a = jax.device_put(
@@ -539,20 +537,52 @@ def calibration_probes(device):
         jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16), device
     )
     # ~0.7 ms/iter at peak => 150 differenced iters ~ 100 ms of work,
-    # >10x the tunnel dispatch jitter; median of 3 samples.
-    gemm_sec = _make_sampler(gemm_probe_loop(n), (a, b), 1.0, small=8, big=158)
-    tflops = round(
-        2 * n**3 * _stats.median(gemm_sec() for _ in range(3)) / 1e12, 1
-    )
+    # >10x the tunnel dispatch jitter; median of 3 samples, each retried
+    # past occasional below-noise-floor asserts (round-5 validation run:
+    # ONE early-session dispatch hiccup of -8 ms tripped the assert and
+    # nulled both probes for the whole record). Probes are independent:
+    # a dead GEMM probe must not take the HBM probe with it.
+    tflops = gbps = None
+    try:
+        gemm_sec = _make_sampler(
+            gemm_probe_loop(n), (a, b), 1.0, small=8, big=158
+        )
+        med = _median_with_retry(gemm_sec)
+        if med is not None:
+            tflops = round(2 * n**3 * med / 1e12, 1)
+    except Exception:  # pragma: no cover
+        pass
 
     m = 256 * 1024 * 1024 // 2  # 512 MB bf16
-    x = jax.device_put(jnp.ones((m,), jnp.bfloat16), device)
-    # ~1.3 ms/iter at spec => 80 differenced iters ~ 100 ms of work.
-    stream_sec = _make_sampler(stream_probe_loop(), (x,), 1.0, small=8, big=88)
-    gbps = round(
-        2 * m * 2 * _stats.median(stream_sec() for _ in range(3)) / 1e9, 1
-    )
+    try:
+        x = jax.device_put(jnp.ones((m,), jnp.bfloat16), device)
+        # ~1.3 ms/iter at spec => 80 differenced iters ~ 100 ms of work.
+        stream_sec = _make_sampler(
+            stream_probe_loop(), (x,), 1.0, small=8, big=88
+        )
+        med = _median_with_retry(stream_sec)
+        if med is not None:
+            gbps = round(2 * m * 2 * med / 1e9, 1)
+    except Exception:  # pragma: no cover
+        pass
     return tflops, gbps
+
+
+def _median_with_retry(sample, n=3, max_tries=8):
+    """Median of ``n`` probe samples, skipping samples that trip the
+    below-noise-floor assertion (a dispatch-jitter spike on the tunnel
+    makes the differenced timing negative ~once per session; one spike
+    must cost one sample, not the probe). None when fewer than ``n``
+    clean samples in ``max_tries``."""
+    vals = []
+    for _ in range(max_tries):
+        if len(vals) >= n:
+            break
+        try:
+            vals.append(sample())
+        except AssertionError:
+            continue
+    return statistics.median(vals) if len(vals) >= n else None
 
 
 def gemm_probe_loop(n):

@@ -32,10 +32,48 @@ def old_elidable_gemm_loop():
     return loop
 
 
-def count_full_dots(txt, n):
-    # count dot/convolution ops whose shapes mention the full nxn operand
-    pat = re.compile(r"(dot|convolution)[^\n]*%s,%s" % (n, n))
-    return len(pat.findall(txt))
+def dot_in_while_body(txt, n):
+    """Is the full nxn dot computed INSIDE the while loop's body
+    computation (per-iteration work), or outside it (hoisted: computed
+    once, iterations free)?
+
+    Optimized TPU HLO names loop-body computations ``*body*``; walk each
+    computation block and check which ones contain a full-size dot (or a
+    fusion computation called from the body — on TPU the dot lands in a
+    fusion, so match any computation reachable by name mention)."""
+    comps = {}
+    cur = None
+    for line in txt.splitlines():
+        m = re.match(r"^\s*%?([\w.\-]+)\s*(?:\([^)]*\))?\s*->.*{|^(ENTRY)", line)
+        if line.strip().endswith("{") and ("(" in line):
+            name = line.strip().split("(")[0].strip().lstrip("%")
+            cur = name
+            comps[cur] = []
+        elif line.strip() == "}":
+            cur = None
+        elif cur is not None:
+            comps[cur].append(line)
+    dot_pat = re.compile(r"dot\(|convolution\(")
+    full_pat = re.compile(r"%s,%s" % (n, n))
+
+    def has_full_dot(name, seen=None):
+        seen = seen or set()
+        if name in seen or name not in comps:
+            return False
+        seen.add(name)
+        for line in comps[name]:
+            if dot_pat.search(line) and full_pat.search(line):
+                return True
+            # recurse into called computations (fusions, calls)
+            for callee in re.findall(r"(?:calls=|to_apply=)%?([\w.\-]+)", line):
+                if has_full_dot(callee, seen):
+                    return True
+            for callee in re.findall(r"fusion[\w.\-]*", line):
+                pass
+        return False
+
+    body_names = [c for c in comps if "body" in c]
+    return any(has_full_dot(b) for b in body_names), len(comps)
 
 
 def main():
@@ -55,19 +93,28 @@ def main():
     new = bench.gemm_probe_loop(n)
     new_txt = new.lower(a, b, 8).compile().as_text()
 
-    print("old probe: full-size dots in optimized HLO:",
-          count_full_dots(old_txt, n), flush=True)
-    print("new probe: full-size dots in optimized HLO:",
-          count_full_dots(new_txt, n), flush=True)
+    for name, txt in (("old", old_txt), ("new", new_txt)):
+        inside, ncomps = dot_in_while_body(txt, n)
+        total = len(re.findall(r"dot\([^\n]*", txt))
+        print(f"{name} probe: full-size dot inside while body: {inside} "
+              f"(dot ops in module: {total}, computations: {ncomps})",
+              flush=True)
 
-    # measure both (median of 3) so the contrast carries readings too
+    # measure both (median of 3): the new probe first; the old probe's
+    # per-iteration work is expected to be ~free (hoisted), tripping the
+    # below-noise-floor assert — catch it as the finding.
     import statistics
 
-    for name, loop in (("old", old), ("new", new)):
-        sec = bench._make_sampler(loop, (a, b), 1.0, small=8, big=158)
-        tf = 2 * n**3 * statistics.median(sec() for _ in range(3)) / 1e12
-        print(f"{name} probe reading: {tf:.1f} TF/s "
-              f"({tf/197.0:.3f} of v5e spec)", flush=True)
+    for name, loop in (("new", new), ("old", old)):
+        try:
+            sec = bench._make_sampler(loop, (a, b), 1.0, small=8, big=158)
+            tf = 2 * n**3 * statistics.median(sec() for _ in range(3)) / 1e12
+            print(f"{name} probe reading: {tf:.1f} TF/s "
+                  f"({tf/197.0:.3f} of v5e spec)", flush=True)
+        except AssertionError as e:
+            print(f"{name} probe reading: UNMEASURABLE — 158 iterations "
+                  f"cost the same as 8 ({e}); per-iteration work was "
+                  "optimized away", flush=True)
 
 
 if __name__ == "__main__":

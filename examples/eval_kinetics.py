@@ -148,6 +148,7 @@ def evaluate(
     ensemble_method="sum",
     max_videos=None,
     jit_forward=True,
+    prefetch=False,
 ):
     import jax
 
@@ -156,7 +157,7 @@ def evaluate(
         labeled_video_dataset,
         make_clip_sampler,
     )
-    from pytorchvideo_tpu.data.loader import BatchLoader
+    from pytorchvideo_tpu.data.loader import BatchLoader, device_prefetch
     from pytorchvideo_tpu.train.train_loop import ensemble_video_level
 
     clip_duration = num_frames * sampling_rate / fps
@@ -174,18 +175,25 @@ def evaluate(
     )
     num_videos = ds.num_videos
     loader = BatchLoader(ds, batch_size=batch_size, num_workers=4, drop_last=False)
+    batches = device_prefetch(loader) if prefetch else loader
 
     fwd = lambda v, x: model.apply(v, x, False)
     if jit_forward:
         fwd = jax.jit(fwd)
     logits_list, vidx_list = [], []
     labels = np.full(num_videos, -1, np.int64)
-    for batch in loader:
+    import time as _time
+
+    n_views = 0
+    t0 = _time.perf_counter()
+    for batch in batches:
         x = batch["video"]
         logits_list.append(np.asarray(fwd(variables, x)))
         vidx = np.asarray(batch["video_index"])
         vidx_list.append(vidx)
         labels[vidx] = np.asarray(batch["label"])
+        n_views += len(vidx)
+    wall_s = _time.perf_counter() - t0
     seen = labels >= 0
     ensembled = np.asarray(
         ensemble_video_level(
@@ -201,6 +209,11 @@ def evaluate(
         "views": f"{clips_per_video}x{spatial_crops}",
         "top1": round(top1 * 100, 2),
         "top5": round(top5 * 100, 2),
+        # end-to-end rate over the whole decode->transform->load->forward
+        # loop (includes jit compile on the first batch; host decode on
+        # this 1-core dev box dominates — see benchmarks/README.md)
+        "wall_s": round(wall_s, 2),
+        "views_per_s": round(n_views / wall_s, 2) if wall_s else None,
         # per-video argmax over the ensembled logits, ordered by video
         # index — lets golden tests lock the full protocol, not just the
         # two scalar rates
@@ -244,6 +257,20 @@ def main(argv=None):
         "--synthetic",
         action="store_true",
         help="smoke-run on generated videos with random-init weights",
+    )
+    parser.add_argument(
+        "--synthetic-videos", type=int, default=4,
+        help="number of generated videos for --synthetic",
+    )
+    parser.add_argument(
+        "--synthetic-seconds", type=float, default=2.0,
+        help="duration of each generated video for --synthetic",
+    )
+    parser.add_argument(
+        "--prefetch",
+        action="store_true",
+        help="overlap host batch assembly + host->HBM transfer with the "
+        "forward pass (data.loader.device_prefetch)",
     )
     parser.add_argument(
         "--model-kwargs",
@@ -321,11 +348,19 @@ def main(argv=None):
             alpha=alpha,
             batch_size=args.batch_size,
             ensemble_method=args.ensemble,
+            prefetch=args.prefetch,
         )
 
     if args.synthetic:
         with tempfile.TemporaryDirectory() as td:
-            result = run(make_synthetic_dataset(td, num_classes=args.num_classes))
+            result = run(
+                make_synthetic_dataset(
+                    td,
+                    num_videos=args.synthetic_videos,
+                    num_classes=args.num_classes,
+                    seconds=args.synthetic_seconds,
+                )
+            )
     else:
         if not args.data:
             parser.error("--data required unless --synthetic")
