@@ -136,6 +136,34 @@ def test_convert_to_deployable_form_weight_modes():
         baked(swap_vars, xb)
 
 
+def test_deploy_baked_guard_accepts_none_and_rewrapped_trees():
+    """ADVICE r4: the guard must not reject legitimate re-wrappings —
+    None is the conventional 'use baked' argument, and a tree whose
+    leaves are the identical array objects (dict re-wrap, identity
+    tree_map) passes; a value-copied tree still raises, because the
+    executable would silently keep serving the baked constants."""
+    model, variables, x = _tiny_x3d()
+    xb = jnp.asarray(x, jnp.bfloat16)
+    baked, baked_vars = convert_to_deployable_form(
+        model, variables, x, dtype=jnp.bfloat16
+    )
+    ref = np.asarray(baked(baked_vars, xb), np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(baked(None, xb), np.float32), ref
+    )
+    rewrapped = {k: baked_vars[k] for k in baked_vars}  # new dict, same leaves
+    np.testing.assert_array_equal(
+        np.asarray(baked(rewrapped, xb), np.float32), ref
+    )
+    identity_mapped = jax.tree_util.tree_map(lambda a: a, baked_vars)
+    np.testing.assert_array_equal(
+        np.asarray(baked(identity_mapped, xb), np.float32), ref
+    )
+    copied = jax.tree_util.tree_map(lambda a: a + 0, baked_vars)
+    with pytest.raises(ValueError, match="baked"):
+        baked(copied, xb)
+
+
 def test_quantize_roundtrip():
     model, variables, x = _tiny_x3d()
     err = quantization_error(variables)

@@ -136,3 +136,38 @@ def test_device_prefetch():
     assert len(out) == 5
     for i, b in enumerate(out):
         np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+
+def test_device_prefetch_close_stops_worker():
+    """The documented abandonment contract (ADVICE r4): gen.close() runs
+    the generator's finally, sets the stop flag, and the daemon worker
+    exits instead of busy-polling forever holding device batches."""
+    import threading
+    import time
+
+    def source():
+        i = 0
+        while True:  # endless producer: only close() can end the worker
+            yield {"x": np.full((2, 3), i)}
+            i += 1
+
+    gen = device_prefetch(source(), size=2)
+    first = next(gen)
+    np.testing.assert_array_equal(np.asarray(first["x"]), 0)
+    assert any(
+        t.name == "device_prefetch" and t.is_alive()
+        for t in threading.enumerate()
+    )
+    gen.close()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if not any(
+            t.name == "device_prefetch" and t.is_alive()
+            for t in threading.enumerate()
+        ):
+            break
+        time.sleep(0.05)
+    assert not any(
+        t.name == "device_prefetch" and t.is_alive()
+        for t in threading.enumerate()
+    ), "worker thread still alive 5s after close()"
