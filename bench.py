@@ -106,7 +106,10 @@ import numpy as np
 #    timing loop). Round-2's 1661 was invalidated: its timing loop's
 #    output depended only on loss + step counter, so XLA dead-code-
 #    eliminated the entire backward pass + optimizer update (forward-only
-#    measurement). See utils/profiling.py time_stateful.
+#    measurement). See utils/profiling.py time_stateful. Round 5 moved
+#    the gate geometry to B128 (same per-clip work; interleaved A/B B64
+#    457.1 / B128 609.5 — benchmarks/train_remat_ab.py); anchor stays
+#    the B64-era 456.6.
 #  - pipeline_fps: round-2 first measurement on the 1-core dev box with the
 #    serialized round-1 loader semantics (1 worker); beating it = real
 #    decode parallelism.
@@ -308,7 +311,14 @@ def setup_mvit(device, cpu):
 
 def setup_x3d_s_train(device, cpu):
     """Full bf16 train step: fwd+bwd + SGD-momentum update + MixUp batch
-    transform + SoftTarget CE + BN stat updates (train/train_loop.py)."""
+    transform + SoftTarget CE + BN stat updates (train/train_loop.py).
+
+    B128 (round 5): the batch-geometry A/B (benchmarks/train_remat_ab.py,
+    same-session interleaved) measured B64 457.1 / B128 609.5 clips/s —
+    the anchor-era B64 under-fills the chip for the backward pass. B192+
+    fails at compile (tpu_compile_helper exit 1). Remat policies are a
+    ~19% loss at both batches (docs/train_roofline.md); per-clip work is
+    unchanged, so clips/s/chip stays the honest unit."""
     from pytorchvideo_tpu.models import hub
     from pytorchvideo_tpu.train import (
         OptimizerConfig,
@@ -318,7 +328,7 @@ def setup_x3d_s_train(device, cpu):
     )
     from pytorchvideo_tpu.transforms.mix import MixUp
 
-    B, T, S = 64, 13, 160
+    B, T, S = 128, 13, 160
     model = hub.x3d_s(model_num_class=400)
     with jax.default_device(cpu):
         variables = model.init(
@@ -900,6 +910,14 @@ def main():
         ),
         ("train", ["x3d_s_train_bf16", "slowfast_r50_train_bf16"]),
     ]
+    # Debug/targeted runs: BENCH_GROUPS=train (comma-separated) measures
+    # only the named groups. The skipped metrics report 0.0 and the
+    # record carries groups_filter so a partial run can never be
+    # mistaken for a full gate result.
+    groups_filter = os.environ.get("BENCH_GROUPS")
+    if groups_filter:
+        wanted = {g.strip() for g in groups_filter.split(",")}
+        groups = [g for g in groups if g[0] in wanted]
     samples = {name: [] for name in setups}
     group_mem = {}
 
@@ -1062,6 +1080,11 @@ def main():
         "spread": round(x3d_spread, 2),
         "n": x3d_n,
         "env": env,
+        **(
+            {"groups_filter": groups_filter, "partial_run": True}
+            if groups_filter
+            else {}
+        ),
         "submetrics": {
             "x3d_xs_inference_clips_per_sec_per_chip": sub(
                 "x3d_xs", *stat("x3d_xs")

@@ -222,3 +222,36 @@ def test_compact_line_parses_from_2000_char_tail(monkeypatch, tmp_path):
     rec, line, code = _run_main()
     tail = line[-2000:]
     assert json.loads(tail[tail.index("{"):]) == rec
+
+
+def test_groups_filter_partial_run(monkeypatch, tmp_path):
+    """BENCH_GROUPS=train measures only that group and brands the record
+    partial (round 5): skipped inference metrics read 0.0 but the record
+    carries partial_run + groups_filter, so a targeted debug run can
+    never be mistaken for a full gate result; the measured group's
+    metrics book normally and no instrument_failure fires."""
+    _patch_common(monkeypatch, tmp_path)
+    monkeypatch.setenv("BENCH_GROUPS", "train")
+    build_order = []
+
+    def factory_for(name):
+        def make():
+            build_order.append(name)
+            return lambda: 640.0
+
+        return make
+
+    _patch_setups(monkeypatch, factory_for)
+    rec, line, code = _run_main()
+    assert code == 0
+    assert rec["partial_run"] is True
+    assert rec["groups_filter"] == "train"
+    assert "instrument_failure" not in rec
+    assert build_order == ["x3d_s_train_bf16", "slowfast_r50_train_bf16"]
+    subs = rec["submetrics"]
+    assert subs["x3d_s_train_bf16_clips_per_sec_per_chip"]["value"] > 0
+    assert (
+        subs["slowfast_r50_train_bf16_clips_per_sec_per_chip"]["value"] > 0
+    )
+    assert rec["value"] == 0.0  # headline (inference) not measured
+    assert subs["x3d_xs_inference_clips_per_sec_per_chip"]["value"] == 0.0
