@@ -85,6 +85,49 @@ def _build_x3d_variant(device, cpu, remat, batch):
     return step, state, video, label
 
 
+def _build_single_pathway_variant(factory_name, T, S, device, cpu, remat, batch):
+    """slow_r50 / mvit train variants: their train_throughput.py grid
+    numbers have been INVALID since the round-2 DCE bug (forward-only
+    measurement) with no corrected re-run; this builder produces the
+    corrected numbers and sweeps the batch-geometry lever that won 33%
+    on X3D-S."""
+    from pytorchvideo_tpu.models import hub
+    from pytorchvideo_tpu.train import (
+        OptimizerConfig,
+        construct_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+    from pytorchvideo_tpu.transforms.mix import MixUp
+
+    factory = getattr(hub, factory_name)
+    model = (
+        factory() if "mvit" in factory_name else factory(model_num_class=400)
+    )
+    with jax.default_device(cpu):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, T, S, S, 3)), False
+        )
+        tx = construct_optimizer(
+            variables["params"],
+            OptimizerConfig(method="sgd", lr=0.1, momentum=0.9),
+        )
+        state = create_train_state(variables, tx)
+    state = jax.device_put(state, device)
+    num_class = 400
+    mix = MixUp(num_classes=num_class, label_smoothing=0.1)
+    step = make_train_step(
+        model,
+        tx,
+        batch_transform=lambda k, v, l: mix(k, v, l),
+        compute_dtype=jnp.bfloat16,
+        remat_policy=remat,
+    )
+    video = _rand_input((batch, T, S, S, 3), device, seed=0)
+    label = jax.device_put(jnp.asarray(np.arange(batch) % num_class), device)
+    return step, state, video, label
+
+
 def _build_slowfast_variant(device, cpu, remat, batch):
     from pytorchvideo_tpu.models import hub
     from pytorchvideo_tpu.train import (
@@ -205,6 +248,38 @@ def main():
             [
                 ("none_b40", None, 40),
                 ("none_b48", None, 48),
+            ],
+        ),
+        # Corrected (DCE-proof) train numbers + batch sweep for the rest
+        # of the zoo grid; train_throughput.py's round-2 slow_r50/mvit
+        # rows were forward-only and never re-measured.
+        "slow_r50": (
+            lambda d, c, r, b: _build_single_pathway_variant(
+                "slow_r50", 8, 224, d, c, r, b
+            ),
+            [
+                ("none_b32", None, 32),
+                ("none_b64", None, 64),
+            ],
+        ),
+        "mvit_16x4": (
+            lambda d, c, r, b: _build_single_pathway_variant(
+                "mvit_base_16x4", 16, 224, d, c, r, b
+            ),
+            [
+                ("none_b8", None, 8),
+                ("none_b16", None, 16),
+            ],
+        ),
+        # Both mvit_16x4 batches die in the remote-compile helper (exit
+        # 1). Bisect: same graph under XLA attention (PVT_POOLED_
+        # ATTENTION=xla set by the caller) vs a smaller Pallas graph.
+        "mvit_small": (
+            lambda d, c, r, b: _build_single_pathway_variant(
+                "mvit_base_16x4", 16, 224, d, c, r, b
+            ),
+            [
+                ("none_b4", None, 4),
             ],
         ),
     }
