@@ -24,11 +24,17 @@ import jax.numpy as jnp
 import numpy as np
 
 # (name, factory, (T, crop), reference mobile fp32 latency ms or None)
+# Round 5 extends the grid to the full serving zoo (batch-1 latency is
+# the interactive-serving number; the throughput-optimal batches live in
+# bench.py / MODEL_ZOO.md). slowfast feeds its dual-pathway list input.
 CONFIGS = [
     ("efficient_x3d_xs", "efficient_x3d_xs", (4, 160), 233.0),
     ("efficient_x3d_s", "efficient_x3d_s", (13, 160), 764.0),
     ("x3d_xs", "x3d_xs", (4, 160), None),
     ("x3d_s", "x3d_s", (13, 160), None),
+    ("slow_r50", "slow_r50", (8, 224), None),
+    ("slowfast_r50", "slowfast_r50", (32, 224), None),
+    ("mvit_base_16x4", "mvit_base_16x4", (16, 224), None),
 ]
 
 
@@ -43,6 +49,17 @@ def bench_latency(name, factory_name, geom, ref_ms):
     t, s = geom
     rng = np.random.default_rng(0)
 
+    def make_input(np_rng=None):
+        def arr(shape):
+            if np_rng is None:
+                return jnp.zeros(shape)
+            return jnp.asarray(np_rng.uniform(-1, 1, shape), jnp.bfloat16)
+
+        if "slowfast" in name:
+            # dual pathway: slow T//4 (alpha=4), fast T
+            return [arr((1, t // 4, s, s, 3)), arr((1, t, s, s, 3))]
+        return arr((1, t, s, s, 3))
+
     from pytorchvideo_tpu.accelerate.deploy import cast_variables
 
     with jax.default_device(cpu):
@@ -51,21 +68,27 @@ def bench_latency(name, factory_name, geom, ref_ms):
             # weights via the same fold+cast convert() applies
             block = factory(num_classes=400)
             model = block.model
-            variables = block.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, t, s, s, 3))
+            variables = block.init(jax.random.PRNGKey(0), make_input())
+        elif "mvit" in name:
+            model = factory()
+            variables = model.init(
+                jax.random.PRNGKey(0), make_input(), False
             )
         else:
             model = factory(model_num_class=400)
             variables = model.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, t, s, s, 3)), False
+                jax.random.PRNGKey(0), make_input(), False
             )
         if "batch_stats" in variables:
-            variables = fold_conv_bn(variables)
+            if "mvit" in name:
+                from pytorchvideo_tpu.accelerate import fuse_bn_mvit
+
+                variables = fuse_bn_mvit(variables)
+            else:
+                variables = fold_conv_bn(variables)
         variables = cast_variables(variables, jnp.bfloat16)
     variables = jax.device_put(variables, device)
-    x = jax.device_put(
-        jnp.asarray(rng.uniform(-1, 1, (1, t, s, s, 3)), jnp.bfloat16), device
-    )
+    x = jax.device_put(make_input(rng), device)
 
     def fn(xx):
         return model.apply(variables, xx, False)
