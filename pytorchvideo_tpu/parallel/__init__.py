@@ -13,3 +13,6 @@ from pytorchvideo_tpu.parallel.collectives import (  # noqa: F401
     all_gather_with_grad,
     cat_all_gather,
 )
+from pytorchvideo_tpu.parallel.sequence import (  # noqa: F401
+    sequence_parallel_attention,
+)
