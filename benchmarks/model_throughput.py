@@ -27,6 +27,7 @@ CONFIGS = [
     ("x3d_xs", "x3d_xs", (4, 160), 256),  # 64->10760, 256->14410, 512->13264 clips/s
     ("x3d_s", "x3d_s", (13, 160), 128),
     ("slow_r50", "slow_r50", (8, 224), 64),
+    ("slow_r50_b32", "slow_r50", (8, 224), 32),
     # NOTE: round-1 recorded 995/1048/1092 for B16/32/64 — invalidated:
     # time_jitted then chained only args[0] (slow pathway), so XLA hoisted
     # the fast pathway out of the timing loop. Corrected harness: ~496 @ B64.
