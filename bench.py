@@ -270,10 +270,15 @@ def setup_x3d(device, cpu, variant, B, T, S):
 
 
 def setup_slowfast_r50(device, cpu):
+    """B128 (round 5): same-session batch bracket via model_throughput.py
+    (BENCH_BATCH override) read B64 565.1 / B96 652.6 / B128 700.1 /
+    B192 639.9 clips/s — the B64 anchor-era batch under-filled the chip,
+    the same lever that moved x3d_s_train (docs/train_roofline.md).
+    Anchor stays the B64-era 496; per-clip work is unchanged."""
     from pytorchvideo_tpu.models import hub
 
     model = hub.slowfast_r50(model_num_class=400)
-    B, S = 64, 224
+    B, S = 128, 224
     variables = _deploy_variables(
         model, [(1, 8, S, S, 3), (1, 32, S, S, 3)], device, cpu
     )
