@@ -382,13 +382,20 @@ def setup_x3d_s_train(device, cpu):
 def setup_mvit_32x3(device, cpu):
     """MViT-B 32x3 (the long-sequence stress case: 1+16*56*56 = 50,177
     tokens before the first pool — reference hub/vision_transformers.py:
-    31-54, SURVEY 5.7), batch 8, bf16 BN-fused baked deploy form.
-    Exercises the Pallas pooled-attention long-Lk tiling."""
+    31-54, SURVEY 5.7), batch 4, bf16 BN-fused baked deploy form.
+    Exercises the Pallas pooled-attention long-Lk tiling.
+
+    B4 (round 5): same-session interleaved bracket (benchmarks/
+    mvit32_batch_ab.py, two runs) read B2 139.9 / B4 152.8+151.8 /
+    B6 141.8 / B8 134.1 / B16 147.7 clips/s — non-monotonic because the
+    long-Lk tiling ladder and the kv>8MB XLA fallback shift occupancy
+    per geometry; B4 is the confirmed optimum (+13% over the anchor-era
+    B8). Anchor stays the B8-era 134.1; per-clip work is unchanged."""
     from pytorchvideo_tpu.accelerate import fuse_bn_mvit
     from pytorchvideo_tpu.models import hub
 
     model = hub.mvit_base_32x3()
-    B, T, S = 8, 32, 224
+    B, T, S = 4, 32, 224
     with jax.default_device(cpu):
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, T, S, S, 3)), False
